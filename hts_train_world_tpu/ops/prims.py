@@ -1,0 +1,276 @@
+"""L0 math primitives — vectorized JAX equivalents of the reference's
+Ooura-FFT wrappers and MATLAB-compat helpers.
+
+References (all into /root/reference/externs/WORLD_v2/):
+- src/matlabfunctions.cpp : interp1/histc (:136-182), interp1Q (:220-241),
+  decimate (:27-125,184-210), matlab_round (:212-214), fftshift (:129-134)
+- src/common.cpp : GetSuitableFFTSize (:51-54), DCCorrection (:56-75),
+  LinearSmoothing (:77-111), NuttallWindow (:113-121),
+  GetMinimumPhaseSpectrum (:182-220)
+- src/fft.cpp : the wrapper's conventions map to numpy's as
+    r2c forward  == jnp.fft.rfft
+    c2r backward == jnp.fft.irfft(X) * n      (unnormalized, fft.cpp:26-47)
+    c2c forward  == jnp.fft.fft
+    c2c backward == jnp.fft.ifft(X) * n
+
+Design: every function is shape-static and mask-driven so it vmaps over
+frames/bands; per-frame dynamic extents (window lengths, smoothing
+boundaries) are traced values used only in masks and gather indices, never
+in shapes.  All math follows the input dtype (float64 in parity mode).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# rounding / indexing
+# ---------------------------------------------------------------------------
+
+
+def matlab_round(x):
+    """matlabfunctions.cpp:212-214 — round-half-away-from-zero via trunc."""
+    return jnp.trunc(jnp.where(x > 0, x + 0.5, x - 0.5))
+
+
+def matlab_round_i(x):
+    return matlab_round(x).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# interpolation
+# ---------------------------------------------------------------------------
+
+
+def interp1(x, y, xi, n_valid=None):
+    """MATLAB-style linear interpolation with end extrapolation.
+
+    matlabfunctions.cpp:157-182 (histc bin search :136-155).  `x` must be
+    ascending on its valid prefix; `n_valid` (traced ok) masks a padded
+    tail.  Index selection matches histc: k = #(x <= xi) clipped to
+    [1, n_valid-1]; out-of-range xi extrapolate linearly.
+    """
+    n = x.shape[-1]
+    if n_valid is None:
+        xm = x
+        kmax = n - 1
+    else:
+        big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+        xm = jnp.where(jnp.arange(n) < n_valid, x, big)
+        kmax = jnp.maximum(n_valid - 1, 1)
+    k = jnp.searchsorted(xm, xi, side="right")
+    k = jnp.clip(k, 1, kmax)
+    x0 = jnp.take(x, k - 1, mode="clip")
+    x1 = jnp.take(x, k, mode="clip")
+    y0 = jnp.take(y, k - 1, mode="clip")
+    y1 = jnp.take(y, k, mode="clip")
+    s = (xi - x0) / (x1 - x0)
+    return y0 + s * (y1 - y0)
+
+
+def interp1q(x0, shift, y, xi, n_valid=None):
+    """Uniform-grid linear interpolation, matlabfunctions.cpp:220-241.
+
+    xi_base is trunc((xi-x0)/shift) with NO clamping in the reference (the
+    caller guarantees range); we clip gathers for memory safety only.
+    delta_y[last] = 0 (diff with trailing zero).
+    """
+    n = y.shape[-1]
+    last = (n - 1) if n_valid is None else (n_valid - 1)
+    pos = (xi - x0) / shift
+    base = jnp.trunc(pos).astype(jnp.int32)
+    frac = pos - base
+    basec = jnp.clip(base, 0, n - 1)
+    y0 = jnp.take(y, basec, mode="clip")
+    y1 = jnp.take(y, jnp.clip(basec + 1, 0, n - 1), mode="clip")
+    dy = jnp.where(basec < last, y1 - y0, jnp.zeros((), y.dtype))
+    return y0 + dy * frac
+
+
+# ---------------------------------------------------------------------------
+# decimation (forward-backward order-3 IIR, hardcoded per-ratio coefficients)
+# ---------------------------------------------------------------------------
+
+_DECIMATE_COEF = {
+    # r: (a0, a1, a2, b0, b1)  — matlabfunctions.cpp:27-113
+    11: (2.450743295230728, -2.06794904601978, 0.59574774438332101,
+         0.0026822508007163792, 0.0080467524021491377),
+    12: (2.4981398605924205, -2.1368928194784025, 0.62187513816221485,
+         0.0021097275904709001, 0.0063291827714127002),
+    10: (2.3936475118069387, -1.9873904075111861, 0.5658879979027055,
+         0.0034818622251927556, 0.010445586675578267),
+    9: (2.3236003491759578, -1.8921545617463598, 0.53148928133729068,
+        0.0046331164041389372, 0.013899349212416812),
+    8: (2.2357462340187593, -1.7780899984041358, 0.49152555365968692,
+        0.0063522763407111993, 0.019056829022133598),
+    7: (2.1225239019534703, -1.6395144861046302, 0.44469707800587366,
+        0.0090366882681608418, 0.027110064804482525),
+    6: (1.9715352749512141, -1.4686795689225347, 0.3893908434965701,
+        0.013469181309343825, 0.040407543928031475),
+    5: (1.7610939654280557, -1.2554914843859768, 0.3237186507788215,
+        0.021334858522387423, 0.06400457556716227),
+    4: (1.4499664446880227, -0.98943497080950582, 0.24578252340690215,
+        0.036710750339322612, 0.11013225101796784),
+    3: (0.95039378983237421, -0.67429146741526791, 0.15412211621346475,
+        0.071221945171178636, 0.21366583551353591),
+    2: (0.041156734567757189, -0.42599112459189636, 0.041037215479961225,
+        0.16797464681802227, 0.50392394045406674),
+}
+
+
+def _iir_filter_for_decimate(x, r: int):
+    """matlabfunctions.cpp:115-124 — order-3 IIR as a lax.scan."""
+    a0, a1, a2, b0, b1 = _DECIMATE_COEF[r]
+
+    def body(w, xt):
+        w0, w1, w2 = w
+        wt = xt + a0 * w0 + a1 * w1 + a2 * w2
+        yt = b0 * wt + b1 * w0 + b1 * w1 + b0 * w2
+        return (wt, w0, w1), yt
+
+    zero = jnp.zeros((), x.dtype)
+    _, y = jax.lax.scan(body, (zero, zero, zero), x)
+    return y
+
+
+def decimate(x, r: int):
+    """matlabfunctions.cpp:184-210 — reflect-pad(9), filt-rev-filt-rev,
+    strided pick.  `r` is static."""
+    nfact = 9
+    L = x.shape[0]
+    head = 2 * x[0] - x[nfact - jnp.arange(nfact)]
+    tail = 2 * x[L - 1] - x[L - 2 - jnp.arange(nfact)]
+    tmp = jnp.concatenate([head, x, tail])
+    tmp = _iir_filter_for_decimate(tmp, r)[::-1]
+    tmp = _iir_filter_for_decimate(tmp, r)[::-1]
+    nout = (L - 1) // r + 1
+    nbeg = r - r * nout + L
+    # The C loop (matlabfunctions.cpp:204-206) runs i in [nbeg, L+9) step r,
+    # emitting up to 2 more values than the MATLAB nout; callers only read
+    # the first 1 + L//r.  We return exactly nout (the MATLAB convention).
+    idx = nbeg + np.arange(nout) * r + nfact - 1
+    return tmp[idx]
+
+
+# ---------------------------------------------------------------------------
+# windows / misc
+# ---------------------------------------------------------------------------
+
+
+def fftshift(x):
+    """matlabfunctions.cpp:129-134 (even length)."""
+    h = x.shape[-1] // 2
+    return jnp.concatenate([x[..., h:], x[..., :h]], axis=-1)
+
+
+def nuttall_window(n: int, dtype=jnp.float64):
+    """common.cpp:113-121."""
+    t = jnp.arange(n, dtype=dtype) / (n - 1.0)
+    return (0.355768 - 0.487396 * jnp.cos(2 * jnp.pi * t)
+            + 0.144232 * jnp.cos(4 * jnp.pi * t)
+            - 0.012604 * jnp.cos(6 * jnp.pi * t))
+
+
+def nuttall_window_masked(max_len: int, length, dtype=jnp.float64):
+    """Nuttall window of traced `length` zero-padded to static `max_len`."""
+    i = jnp.arange(max_len, dtype=dtype)
+    t = i / (length - 1.0)
+    w = (0.355768 - 0.487396 * jnp.cos(2 * jnp.pi * t)
+         + 0.144232 * jnp.cos(4 * jnp.pi * t)
+         - 0.012604 * jnp.cos(6 * jnp.pi * t))
+    return jnp.where(jnp.arange(max_len) < length, w, jnp.zeros((), dtype))
+
+
+# ---------------------------------------------------------------------------
+# spectral helpers
+# ---------------------------------------------------------------------------
+
+
+def dc_correction(ps, f0, fs: int, fft_size: int, ul_max: int):
+    """common.cpp:56-75 — mirror sub-F0 power back below F0.
+
+    ps: (..., fft_size/2+1) power spectrum; f0 traced per frame;
+    ul_max: static bound on upper_limit (= 2 + f0_max*N/fs).
+    """
+    dtype = ps.dtype
+    half = fft_size // 2
+    upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)
+    i = jnp.arange(ul_max)
+    pos = f0 * fft_size / fs - i.astype(dtype)
+    base = jnp.trunc(pos).astype(jnp.int32)
+    basec = jnp.clip(base, 0, half)
+    y0 = jnp.take(ps, basec, axis=-1, mode="clip")
+    y1 = jnp.take(ps, jnp.clip(basec + 1, 0, half), axis=-1, mode="clip")
+    # delta_y has x_length=UL+1 entries; last is zero (interp1Q semantics)
+    dy = jnp.where(basec < upper_limit, y1 - y0, jnp.zeros((), dtype))
+    frac = pos - jnp.trunc(pos)
+    replica = y0 + dy * frac
+    add = jnp.where(i < upper_limit - 1, replica, jnp.zeros((), dtype))
+    return ps.at[..., :ul_max].add(add)
+
+
+def linear_smoothing(ps, width, fs: int, fft_size: int, b_max: int):
+    """common.cpp:77-111 — rectangular smoothing via mirrored cumsum and two
+    interp1Q evaluations.  width traced per frame; b_max static bound on
+    boundary = int(width*N/fs)+1."""
+    dtype = ps.dtype
+    half = fft_size // 2
+    b = (width * fft_size / fs).astype(jnp.int32) + 1
+    P = half + 2 * b_max + 1
+    p = jnp.arange(P)
+    o = half - jnp.abs(half - jnp.abs(p - b))
+    mirror = jnp.take(ps, jnp.clip(o, 0, half), axis=-1, mode="clip")
+    seg = jnp.cumsum(mirror * (fs / fft_size), axis=-1)
+
+    origin = -(b.astype(dtype) - 0.5) * fs / fft_size
+    delta = fs / fft_size
+    valid_last = half + 2 * b  # last valid index of seg
+
+    def q(xi):
+        pos = (xi - origin) / delta
+        base = jnp.trunc(pos).astype(jnp.int32)
+        frac = pos - base
+        basec = jnp.clip(base, 0, P - 1)
+        y0 = jnp.take(seg, basec, axis=-1, mode="clip")
+        y1 = jnp.take(seg, jnp.clip(basec + 1, 0, P - 1), axis=-1, mode="clip")
+        dy = jnp.where(basec < valid_last, y1 - y0, jnp.zeros((), dtype))
+        return y0 + dy * frac
+
+    freq = jnp.arange(half + 1, dtype=dtype) * fs / fft_size - width / 2.0
+    return (q(freq + width) - q(freq)) / width
+
+
+def minimum_phase_spectrum(log_half, fft_size: int):
+    """common.cpp:182-220 — log half-spectrum -> complex min-phase spectrum.
+
+    Input log_half: (..., N/2+1) = log|S| values (caller includes any /2);
+    returns complex (..., N/2+1): exp of the causal-cepstrum spectrum.
+    The reference mirrors, forward-rffts, conjugate-doubles the interior
+    cepstrum bins, zeroes the anticausal half, c2c-forward-ffts, and
+    exponentiates with 1/N scaling.
+    """
+    n = fft_size
+    half = n // 2
+    ls = jnp.concatenate([log_half, log_half[..., -2:0:-1]], axis=-1)
+    C = jnp.conj(jnp.fft.rfft(ls, axis=-1))  # wrapper negates imag
+    k = jnp.arange(half + 1)
+    scale = jnp.where((k == 0) | (k == half), 1.0, 2.0).astype(log_half.dtype)
+    cep_half = C * scale
+    cep = jnp.concatenate(
+        [cep_half, jnp.zeros(log_half.shape[:-1] + (n - half - 1,),
+                             cep_half.dtype)], axis=-1)
+    D = jnp.fft.fft(cep, axis=-1)[..., :half + 1]
+    return jnp.exp(D / n)
+
+
+def design_low_cut_filter(n: int, fft_size: int, dtype=jnp.float64):
+    """dio.cpp:40-53 — zero-phase low-cut FIR (delta minus hanning LPF),
+    already circularly rotated.  n, fft_size static."""
+    i = np.arange(1, n + 1)
+    lcf = np.zeros(fft_size)
+    lcf[:n] = 0.5 - 0.5 * np.cos(i * 2.0 * np.pi / (n + 1))
+    lcf[:n] = -lcf[:n] / lcf[:n].sum()
+    lcf = np.roll(lcf, -((n - 1) // 2))
+    lcf[0] += 1.0
+    return jnp.asarray(lcf, dtype)
