@@ -147,9 +147,11 @@ def decimate(x, r: int):
     nout = (L - 1) // r + 1
     nbeg = r - r * nout + L
     # The C loop (matlabfunctions.cpp:204-206) runs i in [nbeg, L+9) step r,
-    # emitting up to 2 more values than the MATLAB nout; callers only read
-    # the first 1 + L//r.  We return exactly nout (the MATLAB convention).
-    idx = nbeg + np.arange(nout) * r + nfact - 1
+    # emitting up to 2 more values than the MATLAB nout; DIO reads
+    # 1 + L//r values (dio.cpp:590), so we emit the full C count and let
+    # callers slice.
+    count = (L + nfact - 1 - nbeg) // r + 1
+    idx = nbeg + np.arange(count) * r + nfact - 1
     return tmp[idx]
 
 
