@@ -1,0 +1,197 @@
+"""D4C band-aperiodicity estimation — TPU-native reimplementation of
+externs/WORLD_v2/src/d4c.cpp (SURVEY.md N8).
+
+Two phases, both vmapped over frames:
+- D4C LoveTrain (d4c.cpp:225-282): per-frame V/UV from cumulative band
+  power ratios at 100/4000/7900 Hz;
+- main body (d4c.cpp:290-316): static group delay from windowed centroids,
+  coarse aperiodicity per 3 kHz band (sorted-cumsum power ratio), then
+  interp1 onto the CheapTrick frequency axis.
+
+The reference's reproducible noise (randn()*1e-12 inside every windowed
+waveform; reseed at d4c.cpp:340) is consumed: first by LoveTrain over all
+voiced frames, then by the main body over frames passing the threshold —
+the stream offsets are computed in-graph from f0 and the LoveTrain result.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hts_train_world_tpu import config as cfg
+from hts_train_world_tpu.ops import prims
+
+
+def d4c_stream_len(f0_length: int, fs: int) -> int:
+    w_lt = 2 * int(1.5 * fs / 40.0 + 0.5) + 1
+    w_b = 2 * int(2.0 * fs / cfg.K_FLOOR_F0_D4C + 0.5) + 1
+    return f0_length * (w_lt + 3 * w_b) + 16
+
+
+def _windowed_waveform(x, L: int, fs: int, f0i, pos, window_type: str,
+                       ratio: float, noise, max_len: int, dtype):
+    """GetWindowedWaveform (d4c.cpp:52-84): gather + window + tiny noise +
+    weighted mean removal, zero-masked beyond 2h."""
+    h = prims.matlab_round_i(ratio * fs / f0i / 2.0)
+    j = jnp.arange(max_len)
+    valid = j <= 2 * h
+    base_index = j - h
+    origin = prims.matlab_round_i(pos * fs + 0.001)
+    safe = jnp.clip(origin + base_index, 0, L - 1)
+    position = (2.0 * base_index.astype(dtype) / ratio) / fs
+    if window_type == "hanning":
+        w = 0.5 * jnp.cos(jnp.pi * position * f0i) + 0.5
+    else:  # blackman
+        w = (0.42 + 0.5 * jnp.cos(jnp.pi * position * f0i)
+             + 0.08 * jnp.cos(jnp.pi * position * f0i * 2.0))
+    w = jnp.where(valid, w, 0.0)
+    wave = jnp.where(valid, jnp.take(x, safe, mode="clip") * w
+                     + noise * cfg.K_MY_SAFE_GUARD_MINIMUM, 0.0)
+    coef = jnp.sum(wave) / jnp.sum(w)
+    return jnp.where(valid, wave - w * coef, 0.0), h
+
+
+def _love_train(x, fs: int, f0, temporal_positions, noise_lt):
+    """D4CLoveTrain (d4c.cpp:258-282) -> aperiodicity0 per frame."""
+    dtype = x.dtype
+    L = x.shape[0]
+    n = cfg.d4c_love_train_fft_size(fs)
+    b0 = int(-(-100.0 * n // fs))   # ceil
+    b1 = int(-(-4000.0 * n // fs))
+    b2 = int(-(-7900.0 * n // fs))
+
+    def frame(f0i, pos, noise):
+        lf0 = jnp.maximum(f0i, 40.0)
+        wave, _ = _windowed_waveform(x, L, fs, lf0, pos, "blackman", 3.0,
+                                     noise, n, dtype)
+        spec = jnp.fft.rfft(wave)
+        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        k = jnp.arange(n // 2 + 1)
+        p = jnp.where(k <= b0, 0.0, p)
+        c = jnp.cumsum(jnp.where(k <= b2, p, 0.0))
+        return c[b1] / c[b2]
+
+    ap0 = jax.vmap(frame)(f0, temporal_positions, noise_lt)
+    return jnp.where(f0 == 0.0, 0.0, ap0)
+
+
+def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
+                         window_length: int):
+    """GetCoarseAperiodicity (d4c.cpp:192-223) for one frame."""
+    half = fft_d // 2
+    boundary = int(fft_d * 8.0 / window_length + 0.5)  # matlab_round, >0
+    hw = window_length // 2
+    out = []
+    for i in range(n_ap):
+        center = int(cfg.K_FREQUENCY_INTERVAL * (i + 1) * fft_d / fs)
+        seg = jax.lax.dynamic_slice(sgd, (center - hw,), (window_length,))
+        spec = jnp.fft.rfft(seg * window, fft_d)
+        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        c = jnp.cumsum(jnp.sort(p))
+        out.append(10.0 * jnp.log10(c[half - boundary - 1] / c[half]))
+    return jnp.stack(out)
+
+
+@partial(jax.jit, static_argnames=("fs", "fft_size", "threshold"))
+def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
+        threshold: float = cfg.K_THRESHOLD, stream=None):
+    """D4C (d4c.cpp:337-397) -> aperiodicity (T, fft_size/2+1).
+
+    fft_size is the OUTPUT (CheapTrick) fft size; internal analysis uses
+    the D4C sizes.  `stream` is the reseeded randn stream (None -> no
+    noise, fast mode).
+    """
+    dtype = x.dtype
+    L = x.shape[0]
+    T = f0.shape[0]
+    fft_d = cfg.d4c_fft_size(fs)
+    half_d = fft_d // 2
+    n_lt = cfg.d4c_love_train_fft_size(fs)
+    n_ap = cfg.number_of_aperiodicities(fs)
+    fmax = max(fs / 12.0, cfg.K_CEIL_F0)
+    ul_max = 2 + int(fmax * fft_d / fs) + 1
+    b_max = int(fmax * fft_d / fs) + 1
+
+    window_length = int(cfg.K_FREQUENCY_INTERVAL * fft_d / fs) * 2 + 1
+    window = prims.nuttall_window(window_length, dtype)
+
+    # ---- noise stream slicing (exact consumption order) ----
+    if stream is None:
+        stream = jnp.zeros(1, dtype)
+    h_lt = prims.matlab_round_i(1.5 * fs / jnp.maximum(f0, 40.0))
+    lt_counts = jnp.where(f0 == 0.0, 0, 2 * h_lt + 1)
+    lt_off = jnp.cumsum(lt_counts) - lt_counts
+    j_lt = jnp.arange(n_lt)
+    noise_lt = jnp.where(
+        j_lt[None, :] <= 2 * h_lt[:, None],
+        jnp.take(stream, lt_off[:, None] + j_lt[None, :], mode="clip"), 0.0)
+    noise_lt = jnp.where((f0 == 0.0)[:, None], 0.0, noise_lt)
+
+    ap0 = _love_train(x, fs, f0, temporal_positions, noise_lt)
+    process = (f0 != 0.0) & (ap0 > threshold)
+
+    cf0 = jnp.maximum(cfg.K_FLOOR_F0_D4C, f0)
+    h4 = prims.matlab_round_i(4.0 * fs / cf0 / 2.0)
+    body_counts = jnp.where(process, 3 * (2 * h4 + 1), 0)
+    body_off = jnp.sum(lt_counts) + jnp.cumsum(body_counts) - body_counts
+    j_b = jnp.arange(fft_d)
+    valid_b = j_b[None, :] <= 2 * h4[:, None]
+
+    def slice_block(k):
+        off = body_off + k * (2 * h4 + 1)
+        nb = jnp.take(stream, off[:, None] + j_b[None, :], mode="clip")
+        return jnp.where(valid_b & process[:, None], nb, 0.0)
+
+    noise_c1, noise_c2, noise_sp = (slice_block(k) for k in range(3))
+
+    # ---- main body ----
+    def centroid(f0i, pos, noise):
+        """GetCentroid (d4c.cpp:90-119)."""
+        wave, h = _windowed_waveform(x, L, fs, f0i, pos, "blackman", 4.0,
+                                     noise, fft_d, dtype)
+        # normalize over i <= 2*round(2fs/f0) (inclusive) — same 2h span
+        power = jnp.sum(wave * wave)
+        wave = wave / jnp.sqrt(power)
+        s1 = jnp.fft.rfft(wave)
+        s2 = jnp.fft.rfft(wave * (j_b.astype(dtype) + 1.0))
+        return jnp.real(s2) * jnp.real(s1) + jnp.imag(s1) * jnp.imag(s2)
+
+    def frame(f0i, pos, nc1, nc2, nsp):
+        c1 = centroid(f0i, pos - 0.25 / f0i, nc1)
+        c2 = centroid(f0i, pos + 0.25 / f0i, nc2)
+        sc = prims.dc_correction(c1 + c2, f0i, fs, fft_d, ul_max)
+        wave, _ = _windowed_waveform(x, L, fs, f0i, pos, "hanning", 4.0,
+                                     nsp, fft_d, dtype)
+        spec = jnp.fft.rfft(wave)
+        sps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        sps = prims.dc_correction(sps, f0i, fs, fft_d, ul_max)
+        sps = prims.linear_smoothing(sps, f0i, fs, fft_d, b_max)
+        # GetStaticGroupDelay (d4c.cpp:170-186)
+        sgd = sc / sps
+        sgd = prims.linear_smoothing(sgd, f0i / 2.0, fs, fft_d, b_max)
+        sgd = sgd - prims.linear_smoothing(sgd, f0i, fs, fft_d, b_max)
+        ca = _coarse_aperiodicity(sgd, fs, fft_d, n_ap, window, window_length)
+        return jnp.minimum(0.0, ca + (f0i - 100.0) / 50.0)  # d4c.cpp:309-311
+
+    cf0_safe = jnp.where(process, cf0, 100.0)
+    coarse = jax.vmap(frame)(cf0_safe, temporal_positions, noise_c1,
+                             noise_c2, noise_sp)
+
+    # coarse -> full spectrum (GetAperiodicity, d4c.cpp:325-333)
+    coarse_axis = jnp.concatenate([
+        jnp.arange(n_ap + 1, dtype=dtype) * cfg.K_FREQUENCY_INTERVAL,
+        jnp.asarray([fs / 2.0], dtype)])
+    freq_axis = jnp.arange(fft_size // 2 + 1, dtype=dtype) * fs / fft_size
+
+    def to_full(ca):
+        vals = jnp.concatenate([jnp.asarray([-60.0], dtype), ca,
+                                jnp.asarray([-cfg.K_MY_SAFE_GUARD_MINIMUM],
+                                            dtype)])
+        return 10.0 ** (prims.interp1(coarse_axis, vals, freq_axis) / 20.0)
+
+    ap = jax.vmap(to_full)(coarse)
+    default = jnp.full((T, fft_size // 2 + 1), 1.0 - cfg.K_MY_SAFE_GUARD_MINIMUM,
+                       dtype)
+    return jnp.where(process[:, None], ap, default), ap0
