@@ -29,6 +29,17 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def exact_div(x, divisor: float):
+    """IEEE-exact division by a compile-time constant.
+
+    XLA folds division by a literal into multiply-by-reciprocal (1 ulp
+    off C's `/`).  Hiding the divisor behind an optimization barrier
+    forces a true divide — used where a single ulp changes discrete
+    decisions (e.g. synthesis pulse positions)."""
+    den = jax.lax.optimization_barrier(jnp.asarray(divisor, x.dtype))
+    return x / den
+
+
 def matlab_round(x):
     """matlabfunctions.cpp:212-214 — round-half-away-from-zero via trunc."""
     return jnp.trunc(jnp.where(x > 0, x + 0.5, x - 0.5))
@@ -43,13 +54,18 @@ def matlab_round_i(x):
 # ---------------------------------------------------------------------------
 
 
-def interp1(x, y, xi, n_valid=None):
+def interp1(x, y, xi, n_valid=None, exact=False):
     """MATLAB-style linear interpolation with end extrapolation.
 
     matlabfunctions.cpp:157-182 (histc bin search :136-155).  `x` must be
     ascending on its valid prefix; `n_valid` (traced ok) masks a padded
     tail.  Index selection matches histc: k = #(x <= xi) clipped to
     [1, n_valid-1]; out-of-range xi extrapolate linearly.
+
+    exact=True blocks XLA's FMA contraction of the final multiply-add so
+    the result is bit-identical to the C's separate mul/add — needed when
+    downstream discrete decisions (synthesis pulse positions) hang on the
+    last ulp.
     """
     n = x.shape[-1]
     if n_valid is None:
@@ -65,6 +81,14 @@ def interp1(x, y, xi, n_valid=None):
     x1 = jnp.take(x, k, mode="clip")
     y0 = jnp.take(y, k - 1, mode="clip")
     y1 = jnp.take(y, k, mode="clip")
+    if exact:
+        # isolate every constituent from surrounding fusion/contraction so
+        # the arithmetic is the C's plain sub/div/mul/add sequence
+        xi, x0, x1, y0, y1 = jax.lax.optimization_barrier(
+            (xi, x0, x1, y0, y1))
+        s = jax.lax.optimization_barrier((xi - x0) / (x1 - x0))
+        prod = jax.lax.optimization_barrier(s * (y1 - y0))
+        return y0 + prod
     s = (xi - x0) / (x1 - x0)
     return y0 + s * (y1 - y0)
 

@@ -1,0 +1,177 @@
+"""WORLD waveform synthesis — TPU-native reimplementation of
+externs/WORLD_v2/src/synthesis.cpp (SURVEY.md N9).
+
+Pitch-synchronous overlap-add of minimum-phase responses:
+- time base: phase accumulation is a cumsum, pulse detection a wrapped-phase
+  jump mask, compacted to a static max_pulses axis (synthesis.cpp:223-320);
+- per pulse (vmap): linear frame interp of envelope/aperiodicity, periodic
+  response = min-phase spectrum + fractional-delay linear phase + DC
+  removal, aperiodic response = white-noise segment x min-phase spectrum
+  (synthesis.cpp:38-221);
+- OLA = scatter-add with dropped out-of-range indices (synthesis.cpp:378-383).
+
+Reference quirks reproduced: the last pulse has noise_size 0 and contributes
+nothing (synthesis.cpp:369-371 with GetNoiseSpectrum's zeroed buffer); the
+DC remover *overwrites* the first half of the response (synthesis.cpp:73-82,
+harmless because the min-phase response is causal).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hts_train_world_tpu import config as cfg
+from hts_train_world_tpu.ops import prims
+
+
+def synthesis_stream_len(y_length: int) -> int:
+    """Noise draws consumed <= y_length (sum of pulse gaps)."""
+    return y_length + 16
+
+
+def default_max_pulses(y_length: int, fs: int) -> int:
+    # pulse rate = interpolated f0: <= ~f0_ceil in voiced parts (edge
+    # extrapolation can overshoot briefly), kDefaultF0 in unvoiced parts.
+    return int(y_length * 1200.0 / fs) + 16
+
+
+def _dc_remover(fft_size: int, dtype):
+    """GetDCRemover (synthesis.cpp:322-334)."""
+    half = fft_size // 2
+    i = np.arange(half)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * (i + 1.0) / (1.0 + fft_size))
+    dc = np.sum(w) * 2.0
+    w = w / dc
+    return jnp.asarray(np.concatenate([w, w[::-1]]), dtype)
+
+
+@partial(jax.jit, static_argnames=("fft_size", "frame_period", "fs",
+                                   "y_length", "max_pulses", "exact_phase"))
+def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
+              frame_period: float, fs: int, y_length: int, stream=None,
+              max_pulses: int = 0, exact_phase: bool = True):
+    """Synthesis (synthesis.cpp:338-397).  frame_period in ms.
+
+    exact_phase: reproduce the C++'s strictly sequential phase
+    accumulation (synthesis.cpp:248-255) with a left-fold scan.  Pulse
+    positions are rounding-sensitive when f0*N/fs is integral (e.g. the
+    500 Hz unvoiced default at 16 kHz lands crossings exactly on sample
+    boundaries), so parallel cumsum can shift pulses by one sample.
+    Fast mode (False) uses jnp.cumsum — preferred on TPU."""
+    dtype = spectrogram.dtype
+    T = f0.shape[0]
+    N = fft_size
+    half = N // 2
+    fp = frame_period / 1000.0
+    if not max_pulses:
+        max_pulses = default_max_pulses(y_length, fs)
+    if stream is None:
+        stream = jnp.zeros(1, dtype)
+
+    # ---- GetTimeBase (synthesis.cpp:223-320) ----
+    lowest_f0 = fs / N + 1.0
+    idxT = jnp.arange(T + 1, dtype=dtype)
+    coarse_time = idxT * fp
+    if exact_phase:
+        # keep the multiply from contracting into downstream subtracts
+        # (XLA FMA-fuses iota*const with (xi-x0), flipping ulp-sensitive
+        # V/UV threshold decisions)
+        coarse_time = jax.lax.optimization_barrier(coarse_time)
+    cf0 = jnp.where(f0 < lowest_f0, 0.0, f0)
+    cvuv = jnp.where(cf0 == 0.0, 0.0, 1.0)
+    cf0 = jnp.concatenate([cf0, (cf0[-1] * 2 - cf0[-2])[None]])
+    cvuv = jnp.concatenate([cvuv, (cvuv[-1] * 2 - cvuv[-2])[None]])
+    time_axis = prims.exact_div(jnp.arange(y_length, dtype=dtype), float(fs))
+    if0 = prims.interp1(coarse_time, cf0, time_axis, exact=exact_phase)
+    ivuv = prims.interp1(coarse_time, cvuv, time_axis, exact=exact_phase)
+    ivuv = jnp.where(ivuv > 0.5, 1.0, 0.0)
+    if0 = jnp.where(ivuv == 0.0, cfg.K_DEFAULT_F0, if0)
+
+    if exact_phase:
+        deltas = prims.exact_div(2.0 * jnp.pi * if0, float(fs))
+    else:
+        deltas = 2.0 * jnp.pi * if0 / fs
+    if exact_phase:
+        def acc(c, d):
+            c = c + d
+            return c, c
+        _, total_phase = jax.lax.scan(acc, jnp.zeros((), dtype), deltas)
+    else:
+        total_phase = jnp.cumsum(deltas)
+    wrap = jnp.mod(total_phase, 2.0 * jnp.pi)
+    jump = jnp.abs(wrap[1:] - wrap[:-1]) > jnp.pi  # at sample i, i<y-1
+    n_pulses = jnp.sum(jump)
+    (pidx,) = jnp.nonzero(jump, size=max_pulses, fill_value=y_length - 2)
+    p_valid = jnp.arange(max_pulses) < n_pulses
+    y1 = jnp.take(wrap, pidx) - 2.0 * jnp.pi
+    y2 = jnp.take(wrap, pidx + 1)
+    time_shift = (-y1 / (y2 - y1)) / fs
+    pulse_time = prims.exact_div(pidx.astype(dtype), float(fs))
+
+    pidx_next = jnp.where(jnp.arange(max_pulses) + 1 < n_pulses,
+                          jnp.roll(pidx, -1), pidx)
+    noise_size = pidx_next - pidx
+    noise_off = jnp.cumsum(noise_size) - noise_size
+
+    dc_rm = _dc_remover(N, dtype)
+    kj = jnp.arange(N)
+
+    def one_pulse(p_i, t_i, shift_i, ns, off, vuv_i):
+        # frame interpolation (synthesis.cpp:140-178)
+        pos = prims.exact_div(t_i, fp)
+        fl = jnp.minimum(T - 1, jnp.floor(pos)).astype(jnp.int32)
+        ce = jnp.minimum(T - 1, jnp.ceil(pos)).astype(jnp.int32)
+        frac = pos - jnp.floor(pos)
+        sp0 = jnp.abs(spectrogram[fl])
+        sp1 = jnp.abs(spectrogram[ce])
+        same = fl == ce
+        sp_env = jnp.where(same, sp0, (1.0 - frac) * sp0 + frac * sp1)
+        ap0 = jnp.clip(aperiodicity[fl], 0.001, 0.999999999999)
+        ap1 = jnp.clip(aperiodicity[ce], 0.001, 0.999999999999)
+        apr = jnp.where(same, ap0, (1.0 - frac) * ap0 + frac * ap1) ** 2
+
+        # periodic response (synthesis.cpp:105-138)
+        unvoiced = (vuv_i <= 0.5) | (apr[0] > 0.999)
+        log_p = jnp.log(sp_env * (1.0 - apr)
+                        + cfg.K_MY_SAFE_GUARD_MINIMUM) / 2.0
+        mp = prims.minimum_phase_spectrum(log_p, N)
+        coef = 2.0 * jnp.pi * shift_i * fs / N
+        re2 = jnp.cos(coef * jnp.arange(half + 1, dtype=dtype))
+        im2 = jnp.sqrt(1.0 - re2 * re2)
+        re, im = jnp.real(mp), jnp.imag(mp)
+        shifted = (re * re2 + im * im2) + 1j * (im * re2 - re * im2)
+        per = prims.fftshift(jnp.fft.irfft(shifted, N) * N)
+        dc = jnp.sum(per[half:])
+        per = jnp.where(kj < half, -dc * dc_rm, per - dc * dc_rm)
+        per = jnp.where(unvoiced, 0.0, per)
+
+        # aperiodic response (synthesis.cpp:38-68)
+        noise = jnp.where(kj < ns, jnp.take(stream, off + kj, mode="clip"),
+                          0.0)
+        avg = jnp.sum(noise) / jnp.maximum(ns, 1)
+        noise = jnp.where(kj < ns, noise - avg, 0.0)
+        nspec = jnp.fft.rfft(noise)
+        log_a = jnp.where(vuv_i != 0.0, jnp.log(sp_env * apr) / 2.0,
+                          jnp.log(sp_env) / 2.0)
+        mpa = prims.minimum_phase_spectrum(log_a, N)
+        aper = prims.fftshift(jnp.fft.irfft(mpa * nspec, N) * N)
+
+        return (per * jnp.sqrt(ns.astype(dtype)) + aper) / N
+
+    responses = jax.vmap(one_pulse)(
+        pidx, pulse_time, time_shift, noise_size, noise_off,
+        jnp.take(ivuv, pidx))
+    responses = jnp.where((p_valid & (noise_size > 0))[:, None],
+                          responses, 0.0)
+
+    # ---- OLA (synthesis.cpp:378-383) ----
+    out_idx = pidx[:, None] + kj[None, :] - half + 1
+    # negative / invalid indices must be dropped, not wrapped: push them
+    # past the end where mode="drop" discards them (synthesis.cpp:381 skips)
+    out_idx = jnp.where((out_idx < 0) | ~p_valid[:, None], y_length, out_idx)
+    y = jnp.zeros(y_length, dtype)
+    y = y.at[out_idx.reshape(-1)].add(responses.reshape(-1), mode="drop")
+    return y
