@@ -40,6 +40,17 @@ def build_reference():
             ["g++", "-O2", "-I", os.path.join(BUILD, "src"), "-o", harness,
              src, os.path.join(BUILD, "build", "libworld.a"), "-lm"],
             check=True)
+    dec = os.path.join(BUILD, "golden_decode")
+    dsrc = os.path.join(REPO, "tools", "golden_decode.cpp")
+    if (not os.path.exists(dec)
+            or os.path.getmtime(dec) < os.path.getmtime(dsrc)):
+        subprocess.run(
+            ["g++", "-O2", "-I", os.path.join(BUILD, "src"),
+             "-I", os.path.join(BUILD, "test"), "-o", dec, dsrc,
+             os.path.join(BUILD, "build", "libworld.a"),
+             os.path.join(BUILD, "build", "objs", "test", "sptkfunctions.o"),
+             os.path.join(BUILD, "build", "objs", "test", "theq.o"), "-lm"],
+            check=True)
     return harness
 
 
@@ -97,6 +108,28 @@ def main():
         x.astype(np.float64).tofile(xpath)
         res = subprocess.run([harness, xpath, str(fs), outdir],
                              check=True, capture_output=True, text=True)
+        # CLI-level goldens: the actual reference binaries on the wav
+        from scipy.io import wavfile
+        wav = os.path.join(outdir, "x.wav")
+        wavfile.write(wav, fs, np.round(x * 32768.0).astype(np.int16))
+        fftlen = 1024 if fs <= 25600 else 2048
+        subprocess.run(
+            [os.path.join(BUILD, "build", "analysis"), wav,
+             os.path.join(outdir, "cli.lf0"), os.path.join(outdir, "cli.mgc"),
+             os.path.join(outdir, "cli.bap"), "5", str(fftlen), "50", "25"],
+            check=True, capture_output=True)
+        subprocess.run(
+            [os.path.join(BUILD, "build", "synth"),
+             os.path.join(outdir, "cli.lf0"), os.path.join(outdir, "cli.mgc"),
+             os.path.join(outdir, "cli.bap"), os.path.join(outdir, "cli.wav"),
+             "5", str(fftlen), str(fs), "50", "25"],
+            check=True, capture_output=True)
+        meta = dict(p.split("=") for p in res.stdout.split()[1:] if "=" in p)
+        subprocess.run(
+            [os.path.join(BUILD, "golden_decode"),
+             os.path.join(outdir, "cli.mgc"), os.path.join(outdir, "cli.bap"),
+             meta["f0_length"], str(fs), meta["fft_size"], outdir],
+            check=True, capture_output=True)
         with open(os.path.join(outdir, "meta.txt"), "w") as fh:
             fh.write(f"fs={fs}\n{res.stdout}")
         with open(stamp, "w") as fh:
