@@ -1,0 +1,69 @@
+"""HTS label file handling (mono + full-context) for the singing-synthesis
+pipeline.  Times are in HTK 100 ns units on disk; Extract.py:76-77 converts
+to ms (value / 1e4)."""
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import List, Optional
+
+_NOTE_RE = re.compile(r"/E:(\w+)\]")
+_SCALE = ["C", "Db", "D", "Eb", "E", "F", "Gb", "G", "Ab", "A", "Bb", "B"]
+
+
+@dataclasses.dataclass
+class LabelSegment:
+    start_ms: float
+    end_ms: float
+    phone: str
+    context: str
+
+    @property
+    def note(self) -> Optional[str]:
+        m = _NOTE_RE.search(self.context)
+        if not m or m.group(1) == "xx":
+            return None
+        return m.group(1)
+
+    def note_hz(self) -> float:
+        """getNotePitch (Extract.py:108-113): equal temperament, A4=440."""
+        note = self.note
+        if note is None:
+            return 0.0
+        scale = _SCALE.index(note[:-1]) - 9
+        octave = int(note[-1]) - 4
+        return 440.0 * (2.0 ** octave) * (2.0 ** (scale / 12.0))
+
+
+def load_labels(mono_path: str, full_path: str) -> List[LabelSegment]:
+    """loadLabel (Extract.py:60-81): parallel mono/full files, times/1e4."""
+    with open(mono_path) as f:
+        mono = [ln.split() for ln in f.read().splitlines() if ln]
+    with open(full_path) as f:
+        full = [ln.split() for ln in f.read().splitlines() if ln]
+    if len(mono) != len(full):
+        raise ValueError("mono label not equal with full label")
+    out = []
+    for m, fl in zip(mono, full):
+        out.append(LabelSegment(float(m[0]) / 1e4, float(m[1]) / 1e4,
+                                m[2], fl[2]))
+    return out
+
+
+def make_mono_from_full(full_path: str, mono_path: str,
+                        phone_re=re.compile(r"-(.+?)\+")) -> None:
+    """Derive a monophone label file from a full-context one."""
+    with open(full_path) as f:
+        lines = [ln.split() for ln in f.read().splitlines() if ln]
+    with open(mono_path, "w") as f:
+        for ln in lines:
+            m = phone_re.search(ln[2])
+            f.write(f"{ln[0]} {ln[1]} {m.group(1) if m else ln[2]}\n")
+
+
+def segment_frames(seg: LabelSegment, frame_period_ms: float, n_frames: int):
+    """Frame range [start, end) of a segment (Extract.py:177-178)."""
+    start = max(math.floor(seg.start_ms / frame_period_ms), 0)
+    end = min(math.floor(seg.end_ms / frame_period_ms), n_frames)
+    return start, end
