@@ -147,9 +147,9 @@ def fix_f0_contour(best_f0, f0_candidates, frame_period: float,
         out = jnp.where(active, v, s2_next)
         return (active & (out != 0.0), out, p1), out
 
+    zero = s2[0] * 0.0  # derives device-varying type under shard_map
     (_, _, _), ys = jax.lax.scan(
-        fwd, (jnp.asarray(False), s2[0], jnp.zeros((), dtype)),
-        (neg_b, s2[1:], cands_T[1:]))
+        fwd, (zero != 0.0, s2[0], zero), (neg_b, s2[1:], cands_T[1:]))
     s3 = jnp.concatenate([s2[:1], ys])
 
     # Step4 (backward extension from positive boundaries, dio.cpp:237-253)
@@ -164,7 +164,7 @@ def fix_f0_contour(best_f0, f0_candidates, frame_period: float,
         return (active & (out != 0.0), out, p1), out
 
     (_, _, _), ys4 = jax.lax.scan(
-        bwd, (jnp.asarray(False), s3[-1], jnp.zeros((), dtype)),
+        bwd, (zero != 0.0, s3[-1], zero),
         (pos_b[::-1], s3[:-1][::-1], cands_T[:-1][::-1]))
     s4 = jnp.concatenate([s3[-1:], ys4])[::-1]
     return s4

@@ -98,7 +98,7 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
         def acc(c, d):
             c = c + d
             return c, c
-        _, total_phase = jax.lax.scan(acc, jnp.zeros((), dtype), deltas)
+        _, total_phase = jax.lax.scan(acc, deltas[0] * 0.0, deltas)
     else:
         total_phase = jnp.cumsum(deltas)
     wrap = jnp.mod(total_phase, 2.0 * jnp.pi)

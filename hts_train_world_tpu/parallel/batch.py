@@ -1,0 +1,89 @@
+"""Batched, data-parallel WORLD analysis/synthesis over a device mesh.
+
+The reference processes utterances in a shell loop (data/Makefile.in:125);
+here a batch of equal-length utterances is one jitted program vmapped over
+the batch axis and sharded over the mesh's `data` axis with shard_map.
+Corpus statistics reduce with psum inside the mapped function, so the same
+code runs 1-chip, 1-host-8-chip, and multi-host (BASELINE configs 4-5).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from hts_train_world_tpu import config as cfg
+from hts_train_world_tpu.ops import cheaptrick as ct
+from hts_train_world_tpu.ops import d4c as d4c_mod
+from hts_train_world_tpu.ops import dio as dio_mod
+from hts_train_world_tpu.ops import stonemask as sm
+from hts_train_world_tpu.ops import synthesis as syn
+
+
+def _analyze_one(x, fs: int, frame_period: float, fft_size: int,
+                 threshold: float):
+    t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
+    f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
+    sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, fft_size)
+    ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, fft_size, threshold, None)
+    return t, f0, sp, ap
+
+
+def _copy_synth_one(x, fs: int, frame_period: float, fft_size: int,
+                    threshold: float, y_length: int, noise):
+    t, f0, sp, ap = _analyze_one(x, fs, frame_period, fft_size, threshold)
+    y = syn.synthesis.__wrapped__(f0, sp, ap, fft_size, frame_period, fs,
+                                  y_length, noise, 0, False)
+    return f0, sp, ap, y
+
+
+@partial(jax.jit, static_argnames=("fs", "frame_period", "d4c_threshold"))
+def batch_analyze(xs, fs: int, frame_period: float = 5.0,
+                  d4c_threshold: float = 0.0):
+    """xs: (B, L) equal-length utterances -> batched (t, f0, sp, ap).
+
+    Fast mode (no reference noise stream): intended for TPU throughput;
+    per-utterance parity runs use the single-utterance kernels.
+    """
+    N = cfg.cheaptrick_fft_size(fs)
+    return jax.vmap(lambda x: _analyze_one(x, fs, frame_period, N,
+                                           d4c_threshold))(xs)
+
+
+def make_sharded_pipeline(mesh, fs: int, frame_period: float = 5.0,
+                          d4c_threshold: float = 0.0, seed: int = 0):
+    """Returns copy_synth(xs) jitted over the mesh: analysis -> stats
+    (psum over data axis) -> resynthesis.  xs (B, L) must shard evenly
+    over the `data` axis."""
+    N = cfg.cheaptrick_fft_size(fs)
+
+    def shard_fn(xs, noise):
+        f0, sp, ap, y = jax.vmap(
+            lambda x, nz: _copy_synth_one(
+                x, fs, frame_period, N, d4c_threshold,
+                int((cfg.samples_for_dio(fs, xs.shape[1], frame_period) - 1)
+                    * frame_period / 1000.0 * fs) + 1, nz))(xs, noise)
+        # corpus statistics: per-dim mean/var of log-envelope + voicing
+        # rate, reduced across the mesh (the vstat/psum analogue)
+        logsp = jnp.log(sp)
+        s1 = jax.lax.psum(jnp.sum(logsp, axis=(0, 1)), "data")
+        s2 = jax.lax.psum(jnp.sum(logsp * logsp, axis=(0, 1)), "data")
+        n = jax.lax.psum(jnp.asarray(sp.shape[0] * sp.shape[1], logsp.dtype),
+                         "data")
+        voiced = jax.lax.psum(jnp.sum(f0 > 0), "data")
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        return f0, sp, ap, y, (mean, var, voiced)
+
+    mapped = jax.shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P("data"), P("data")),
+                           out_specs=(P("data"), P("data"), P("data"),
+                                      P("data"), (P(), P(), P())))
+    return jax.jit(mapped)
+
+
+def synthesis_noise_batch(key, batch: int, y_length: int, dtype):
+    import jax.random as jr
+    return jr.normal(key, (batch, syn.synthesis_stream_len(y_length)), dtype)
