@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Throughput benchmark: WORLD analysis + resynthesis, audio-seconds/s/chip.
+
+Runs the batched fast-mode pipeline (float32) on the default JAX backend
+(the real TPU chip under the driver).  vs_baseline compares against the
+reference C++ binaries' single-core wall time measured on this host
+(analysis + synth per audio-second; cached in /tmp/world_cpp_baseline.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+FS = 16000
+DUR = 2.0
+BATCH = 8
+ITERS = 5
+
+
+def _corpus(batch: int, n: int):
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / FS
+    xs = []
+    for i in range(batch):
+        f0 = 160.0 + 15.0 * (i % 6)
+        x = sum(a * np.sin(2 * np.pi * f0 * (h + 1) * t + 0.1 * h)
+                for h, a in enumerate([0.5, 0.3, 0.2, 0.1]))
+        x = x * (1.0 + 0.02 * np.sin(2 * np.pi * 5.0 * t))
+        x += 0.01 * rng.standard_normal(n)
+        xs.append(0.7 * x / np.abs(x).max())
+    return np.stack(xs)
+
+
+def cpp_baseline_audio_s_per_s() -> float:
+    """Reference analysis+synth single-core throughput on this host."""
+    cache = "/tmp/world_cpp_baseline.json"
+    if os.path.exists(cache):
+        return json.load(open(cache))["audio_s_per_s"]
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import make_golden
+        make_golden.build_reference()
+        from scipy.io import wavfile
+        x = _corpus(1, int(FS * DUR))[0]
+        wav = "/tmp/bench_in.wav"
+        wavfile.write(wav, FS, np.round(x * 32767).astype(np.int16))
+        b = "/tmp/worldref/build"
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            subprocess.run([f"{b}/analysis", wav, "/tmp/b.lf0", "/tmp/b.mgc",
+                            "/tmp/b.bap", "5", "1024", "50", "25"],
+                           check=True, capture_output=True)
+            subprocess.run([f"{b}/synth", "/tmp/b.lf0", "/tmp/b.mgc",
+                            "/tmp/b.bap", "/tmp/b.wav", "5", "1024",
+                            str(FS), "50", "25"],
+                           check=True, capture_output=True)
+        dt = (time.perf_counter() - t0) / reps
+        val = DUR / dt
+        json.dump({"audio_s_per_s": val}, open(cache, "w"))
+        return val
+    except Exception:
+        return 0.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from hts_train_world_tpu import config as cfg
+    from hts_train_world_tpu.parallel import batch as batch_mod
+
+    L = int(FS * DUR)
+    N = cfg.cheaptrick_fft_size(FS)
+    T = cfg.samples_for_dio(FS, L, 5.0)
+    yl = int((T - 1) * 5.0 / 1000.0 * FS) + 1
+
+    xs = jnp.asarray(_corpus(BATCH, L), jnp.float32)
+    rng = np.random.default_rng(1)
+    noise = jnp.asarray(rng.standard_normal((BATCH, yl + 16)), jnp.float32)
+
+    @jax.jit
+    def run(xs, noise):
+        return jax.vmap(lambda x, nz: batch_mod._copy_synth_one(
+            x, FS, 5.0, N, 0.0, yl, nz))(xs, noise)[3]
+
+    y = run(xs, noise)
+    y.block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        y = run(xs, noise)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    audio_s = BATCH * DUR
+    value = audio_s / dt
+
+    base = cpp_baseline_audio_s_per_s()
+    ratio = value / base if base else 0.0
+    print(json.dumps({
+        "metric": "world_analysis_synthesis_throughput",
+        "value": round(value, 2),
+        "unit": "audio_seconds/s/chip",
+        "vs_baseline": round(ratio, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -133,7 +133,7 @@ def trajectory_cost(pred, target, variances, gv_variances,
 
     msd_pred, mu = split_streams(pred)
     msd_obs, obs_wins = split_streams(target)
-    _, var_wins = split_streams(
+    msd_var, var_wins = split_streams(
         jnp.broadcast_to(variances, pred.shape))
     static_obs = obs_wins[:, 0, :]
 
@@ -155,15 +155,17 @@ def trajectory_cost(pred, target, variances, gv_variances,
         _, ds, _, _ = _ldlt_ds(diags)
         return q, jnp.sum(jnp.log(ds))
 
-    qs, lds = jax.vmap(quad_per_dim, in_axes=(2, 2, 2))(mu, prec, diff)
-    trj = (D * T * LOG_2PI - jnp.sum(lds) * 0.0 + jnp.sum(lds) * (-1.0)
-           + jnp.sum(qs))
-    # note: covdet of N(c; mean, (W^T S W)^-1) is -log det(W^T S W)
-    trj_cost = trj / (2.0 * D * T)
+    qs, lds = jax.vmap(quad_per_dim, in_axes=(2, 2, 1))(mu, prec, diff)
+    # NLL of the statics under N(c, (W^T S W)^-1): covdet = -log det(W^T S W)
+    trj_cost = (D * T * LOG_2PI - jnp.sum(lds) + jnp.sum(qs)) \
+        / (2.0 * D * T)
 
-    msd_prec = 1.0 / (msd_obs * 0.0 + 1.0)  # unit variance on msd flags
     if msd_D:
+        msd_prec = 1.0 / msd_var
+        # literal DNNDefine.py:362-366 (incl. its extra factor of T on the
+        # covdet term — reproduced as-is)
         msd_cost = (msd_D * T * LOG_2PI
+                    - T * jnp.sum(jnp.log(msd_prec))
                     + jnp.sum((msd_pred - msd_obs) ** 2 * msd_prec)) \
             / (2.0 * msd_D * T)
     else:

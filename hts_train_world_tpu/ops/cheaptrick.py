@@ -96,6 +96,9 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
         ps = prims.dc_correction(ps, f0i, fs, N, ul_max)
         ps = prims.linear_smoothing(ps, f0i * 2.0 / 3.0, fs, N, b_max)
         ps = ps + jnp.abs(ns) * cfg.K_EPS  # AddInfinitesimalNoise
+        # float32 fast path: smoothing cancellation can drive ps <= 0; the
+        # floor is unreachable in the f64 parity path
+        ps = jnp.maximum(ps, prims.tiny_floor(dtype))
 
         # SmoothingWithRecovery (cheaptrick.cpp:22-57)
         qf = jnp.pi * f0i * q

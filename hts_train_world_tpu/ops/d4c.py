@@ -71,7 +71,7 @@ def _love_train(x, fs: int, f0, temporal_positions, noise_lt):
         k = jnp.arange(n // 2 + 1)
         p = jnp.where(k <= b0, 0.0, p)
         c = jnp.cumsum(jnp.where(k <= b2, p, 0.0))
-        return c[b1] / c[b2]
+        return c[b1] / jnp.maximum(c[b2], prims.tiny_floor(dtype))
 
     ap0 = jax.vmap(frame)(f0, temporal_positions, noise_lt)
     return jnp.where(f0 == 0.0, 0.0, ap0)
@@ -90,7 +90,10 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
         spec = jnp.fft.rfft(seg * window, fft_d)
         p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         c = jnp.cumsum(jnp.sort(p))
-        out.append(10.0 * jnp.log10(c[half - boundary - 1] / c[half]))
+        tiny = prims.tiny_floor(p.dtype)
+        out.append(10.0 * jnp.log10(
+            jnp.maximum(c[half - boundary - 1], tiny)
+            / jnp.maximum(c[half], tiny)))
     return jnp.stack(out)
 
 
@@ -168,8 +171,11 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         sps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         sps = prims.dc_correction(sps, f0i, fs, fft_d, ul_max)
         sps = prims.linear_smoothing(sps, f0i, fs, fft_d, b_max)
-        # GetStaticGroupDelay (d4c.cpp:170-186)
+        # GetStaticGroupDelay (d4c.cpp:170-186).  float32 fast path:
+        # noise-floor bins can underflow sps and blow the ratio to inf;
+        # sanitize (finite everywhere in the f64 parity path)
         sgd = sc / sps
+        sgd = jnp.where(jnp.isfinite(sgd), sgd, 0.0)
         sgd = prims.linear_smoothing(sgd, f0i / 2.0, fs, fft_d, b_max)
         sgd = sgd - prims.linear_smoothing(sgd, f0i, fs, fft_d, b_max)
         ca = _coarse_aperiodicity(sgd, fs, fft_d, n_ap, window, window_length)

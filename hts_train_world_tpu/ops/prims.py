@@ -29,6 +29,13 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def tiny_floor(dtype):
+    """Positivity floor for log/divide guards: far below any value the
+    double-precision parity path produces (no-op there), but large enough
+    to absorb float32 cancellation noise in the fast path."""
+    return jnp.asarray(jnp.finfo(dtype).tiny * 8.0, dtype)
+
+
 def exact_div(x, divisor: float):
     """IEEE-exact division by a compile-time constant.
 

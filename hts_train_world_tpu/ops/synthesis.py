@@ -154,8 +154,10 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
         avg = jnp.sum(noise) / jnp.maximum(ns, 1)
         noise = jnp.where(kj < ns, noise - avg, 0.0)
         nspec = jnp.fft.rfft(noise)
-        log_a = jnp.where(vuv_i != 0.0, jnp.log(sp_env * apr) / 2.0,
-                          jnp.log(sp_env) / 2.0)
+        tiny = prims.tiny_floor(dtype)  # f32 guard; no-op in f64 parity
+        log_a = jnp.where(vuv_i != 0.0,
+                          jnp.log(jnp.maximum(sp_env * apr, tiny)) / 2.0,
+                          jnp.log(jnp.maximum(sp_env, tiny)) / 2.0)
         mpa = prims.minimum_phase_spectrum(log_a, N)
         aper = prims.fftshift(jnp.fft.irfft(mpa * nspec, N) * N)
 

@@ -20,6 +20,7 @@
 #include "world/constantnumbers.h"
 #include "world/d4c.h"
 #include "world/dio.h"
+#include "world/harvest.h"
 #include "world/matlabfunctions.h"
 #include "world/stonemask.h"
 #include "world/synthesis.h"
@@ -78,6 +79,16 @@ int main(int argc, char **argv) {
   dump(out + "/dio_f0.f64", f0.data(), f0_length);
   StoneMask(x.data(), (int)n, fs, t.data(), f0.data(), f0_length, rf0.data());
   dump(out + "/sm_f0.f64", rf0.data(), f0_length);
+
+  // Harvest F0 (frame_period 5 -> internal 1 ms + decimation)
+  {
+    HarvestOption h_opt = {0};
+    InitializeHarvestOption(&h_opt);
+    h_opt.frame_period = frame_period;
+    std::vector<double> ht(f0_length), hf0(f0_length);
+    Harvest(x.data(), (int)n, fs, &h_opt, ht.data(), hf0.data());
+    dump(out + "/harvest_f0.f64", hf0.data(), f0_length);
+  }
 
   CheapTrickOption ct_opt = {0};
   InitializeCheapTrickOption(fs, &ct_opt);

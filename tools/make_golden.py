@@ -32,6 +32,15 @@ def build_reference():
         subprocess.run(["cp", "-r", REF + "/.", BUILD], check=True)
         subprocess.run(["make", "default", "-j8"], cwd=BUILD, check=True,
                        capture_output=True)
+    objs = os.path.join(BUILD, "build", "objs")
+    if not os.path.exists(os.path.join(objs, "harvest.o")):
+        # harvest isn't part of the reference's libworld target (makefile:9)
+        subprocess.run(["g++", "-O1", "-fPIC", "-I", "src", "-c",
+                        "src/harvest.cpp", "-o", "build/objs/harvest.o"],
+                       cwd=BUILD, check=True)
+        subprocess.run(["ar", "rv", "build/libworld.a",
+                        "build/objs/harvest.o"], cwd=BUILD, check=True,
+                       capture_output=True)
     harness = os.path.join(BUILD, "golden_harness")
     src = os.path.join(REPO, "tools", "golden_harness.cpp")
     if (not os.path.exists(harness)
