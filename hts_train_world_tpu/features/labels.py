@@ -27,12 +27,16 @@ class LabelSegment:
         return m.group(1)
 
     def note_hz(self) -> float:
-        """getNotePitch (Extract.py:108-113): equal temperament, A4=440."""
+        """getNotePitch (Extract.py:108-113): equal temperament, A4=440.
+        Unparseable note names yield 0 (the reference raises)."""
         note = self.note
         if note is None:
             return 0.0
-        scale = _SCALE.index(note[:-1]) - 9
-        octave = int(note[-1]) - 4
+        try:
+            scale = _SCALE.index(note[:-1]) - 9
+            octave = int(note[-1]) - 4
+        except (ValueError, IndexError):
+            return 0.0
         return 440.0 * (2.0 ** octave) * (2.0 ** (scale / 12.0))
 
 
