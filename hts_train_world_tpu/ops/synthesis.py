@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hts_train_world_tpu import config as cfg
-from hts_train_world_tpu.ops import prims
+from hts_train_world_tpu.ops import fftmat, prims
 
 
 def synthesis_stream_len(y_length: int) -> int:
@@ -119,6 +119,10 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
     dc_rm = _dc_remover(N, dtype)
     kj = jnp.arange(N)
 
+    # fast mode trades the FFT path for MXU matmuls (ops/fftmat.py);
+    # parity mode keeps jnp.fft to match the C++ rounding
+    use_matmul = not exact_phase
+
     def one_pulse(p_i, t_i, shift_i, ns, off, vuv_i):
         # frame interpolation (synthesis.cpp:140-178)
         pos = prims.exact_div(t_i, fp)
@@ -137,13 +141,20 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
         unvoiced = (vuv_i <= 0.5) | (apr[0] > 0.999)
         log_p = jnp.log(sp_env * (1.0 - apr)
                         + cfg.K_MY_SAFE_GUARD_MINIMUM) / 2.0
-        mp = prims.minimum_phase_spectrum(log_p, N)
         coef = 2.0 * jnp.pi * shift_i * fs / N
         re2 = jnp.cos(coef * jnp.arange(half + 1, dtype=dtype))
         im2 = jnp.sqrt(1.0 - re2 * re2)
-        re, im = jnp.real(mp), jnp.imag(mp)
-        shifted = (re * re2 + im * im2) + 1j * (im * re2 - re * im2)
-        per = prims.fftshift(jnp.fft.irfft(shifted, N) * N)
+        if use_matmul:
+            re, im = fftmat.minphase_matmul(log_p, N)
+        else:
+            mp = prims.minimum_phase_spectrum(log_p, N)
+            re, im = jnp.real(mp), jnp.imag(mp)
+        sre = re * re2 + im * im2
+        sim = im * re2 - re * im2
+        if use_matmul:
+            per = prims.fftshift(fftmat.irfft_scaled_matmul(sre, sim, N))
+        else:
+            per = prims.fftshift(jnp.fft.irfft(sre + 1j * sim, N) * N)
         dc = jnp.sum(per[half:])
         per = jnp.where(kj < half, -dc * dc_rm, per - dc * dc_rm)
         per = jnp.where(unvoiced, 0.0, per)
@@ -153,13 +164,20 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
                           0.0)
         avg = jnp.sum(noise) / jnp.maximum(ns, 1)
         noise = jnp.where(kj < ns, noise - avg, 0.0)
-        nspec = jnp.fft.rfft(noise)
         tiny = prims.tiny_floor(dtype)  # f32 guard; no-op in f64 parity
         log_a = jnp.where(vuv_i != 0.0,
                           jnp.log(jnp.maximum(sp_env * apr, tiny)) / 2.0,
                           jnp.log(jnp.maximum(sp_env, tiny)) / 2.0)
-        mpa = prims.minimum_phase_spectrum(log_a, N)
-        aper = prims.fftshift(jnp.fft.irfft(mpa * nspec, N) * N)
+        if use_matmul:
+            nre, nim = fftmat.rfft_matmul(noise, N)
+            are, aim = fftmat.minphase_matmul(log_a, N)
+            pre = are * nre - aim * nim
+            pim = are * nim + aim * nre
+            aper = prims.fftshift(fftmat.irfft_scaled_matmul(pre, pim, N))
+        else:
+            nspec = jnp.fft.rfft(noise)
+            mpa = prims.minimum_phase_spectrum(log_a, N)
+            aper = prims.fftshift(jnp.fft.irfft(mpa * nspec, N) * N)
 
         return (per * jnp.sqrt(ns.astype(dtype)) + aper) / N
 
