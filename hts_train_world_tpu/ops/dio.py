@@ -44,7 +44,7 @@ def zero_crossings(sig, length: int, fs, cap: int):
     s = sig[:length]
     mask = (s[:-1] > 0.0) & (s[1:] <= 0.0)
     n_edges = jnp.sum(mask)
-    (pos,) = jnp.nonzero(mask, size=cap, fill_value=length - 1)
+    pos = prims.compact_indices(mask, cap, length - 1)
     e = pos + 1  # edge sample index (dio.cpp:363)
     s_em1 = jnp.take(s, e - 1, mode="clip")
     s_e = jnp.take(s, e, mode="clip")

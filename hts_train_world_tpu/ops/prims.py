@@ -47,6 +47,19 @@ def exact_div(x, divisor: float):
     return x / den
 
 
+def compact_indices(mask, cap: int, fill_value: int):
+    """Positions of True entries in ascending order, padded to `cap` with
+    fill_value — semantically jnp.nonzero(mask, size=cap, fill_value=...),
+    but via cumsum + scatter (O(n)) instead of XLA's sort-based lowering,
+    which dominates runtime on TPU for long signals."""
+    n = mask.shape[0]
+    slot = jnp.cumsum(mask) - 1
+    target = jnp.where(mask, slot, cap)  # dropped when >= cap
+    pos = jnp.arange(n, dtype=jnp.int32)
+    out = jnp.full(cap, fill_value, jnp.int32)
+    return out.at[target].set(pos, mode="drop")
+
+
 def matlab_round(x):
     """matlabfunctions.cpp:212-214 — round-half-away-from-zero via trunc."""
     return jnp.trunc(jnp.where(x > 0, x + 0.5, x - 0.5))

@@ -104,7 +104,7 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
     wrap = jnp.mod(total_phase, 2.0 * jnp.pi)
     jump = jnp.abs(wrap[1:] - wrap[:-1]) > jnp.pi  # at sample i, i<y-1
     n_pulses = jnp.sum(jump)
-    (pidx,) = jnp.nonzero(jump, size=max_pulses, fill_value=y_length - 2)
+    pidx = prims.compact_indices(jump, max_pulses, y_length - 2)
     p_valid = jnp.arange(max_pulses) < n_pulses
     y1 = jnp.take(wrap, pidx) - 2.0 * jnp.pi
     y2 = jnp.take(wrap, pidx + 1)

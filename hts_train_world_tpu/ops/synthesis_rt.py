@@ -71,7 +71,7 @@ def _chunk_pulses(f0_all, sp_all, ap_all, phase0, chunk_start,
         [jnp.mod(phase0, 2.0 * jnp.pi)[None], wrap[:-1]])
     jump = jnp.abs(wrap - wrap_prev) > jnp.pi
     n_new = jnp.sum(jump)
-    (k,) = jnp.nonzero(jump, size=max_pulses - 1, fill_value=chunk - 1)
+    k = prims.compact_indices(jump, max_pulses - 1, chunk - 1)
     new_pidx = chunk_start + k - 1
     y1 = jnp.take(wrap_prev, k) - 2.0 * jnp.pi
     y2 = jnp.take(wrap, k)
