@@ -158,16 +158,51 @@ def mcep(log_periodogram_half, order: int, alpha: float, fft_size: int,
     return mc
 
 
+def gc2gc(c1, g1: float, m2: int, g2: float):
+    """Generalized-cepstrum gamma conversion (sptkfunctions.cpp:347-385):
+    c2[i] = ca[i] + (g2*ss2 - g1*ss1)/i with the serial in-index
+    recurrence — run as a lax.scan over the output index, batched over
+    leading dims."""
+    m1 = c1.shape[-1] - 1
+    ca = c1
+    out0 = ca[..., 0]
+
+    def step(c2_prev, i):
+        # c2_prev: (..., m2+1) accumulating; compute c2[i] from entries < i
+        k = jnp.arange(1, m2 + 1)
+        valid = k <= jnp.minimum(m1, i - 1)
+        cak = jnp.take(ca, jnp.clip(k, 0, m1), axis=-1)
+        c2mk = jnp.take(c2_prev, jnp.clip(i - k, 0, m2), axis=-1)
+        cc = jnp.where(valid, cak * c2mk, 0.0)
+        ss2 = jnp.sum(k * cc, axis=-1)
+        ss1 = jnp.sum((i - k) * cc, axis=-1)
+        base = jnp.where(i <= m1,
+                         jnp.take(ca, jnp.clip(i, 0, m1), axis=-1), 0.0)
+        val = base + (g2 * ss2 - g1 * ss1) / i
+        c2_new = c2_prev.at[..., i].set(val)
+        return c2_new, None
+
+    init = jnp.zeros(c1.shape[:-1] + (m2 + 1,), c1.dtype)
+    init = init.at[..., 0].set(out0)
+    out, _ = jax.lax.scan(step, init, jnp.arange(1, m2 + 1))
+    return out
+
+
 def mgc2mgc(c, a1: float, g1: float, m2: int, a2: float, g2: float):
-    """mgc2mgc for gamma1==gamma2==0 paths (sptkfunctions.cpp:221-254);
-    general gamma via gnorm/gc2gc/ignorm is supported for g1==g2 only."""
+    """mgc2mgc (sptkfunctions.cpp:221-254): frequency warp via freqt, then
+    gnorm/gc2gc/ignorm for the gamma conversion."""
     a = (a2 - a1) / (1.0 - a1 * a2)
-    if g1 == g2 == 0.0:
-        if a == 0.0:
-            m1 = c.shape[-1] - 1
-            if m2 <= m1:
-                return c[..., :m2 + 1]
+    if a == 0.0:
+        m1 = c.shape[-1] - 1
+        if m2 <= m1:
+            w = c[..., :m2 + 1]
+        else:
             pad = jnp.zeros(c.shape[:-1] + (m2 - m1,), c.dtype)
-            return jnp.concatenate([c, pad], axis=-1)
-        return freqt(c, m2, a)
-    raise NotImplementedError("general gamma conversion")
+            w = jnp.concatenate([c, pad], axis=-1)
+    else:
+        w = freqt(c, m2, a)
+    if g1 == g2:
+        return w
+    w = gnorm(w, g1)
+    w = gc2gc(w, g1, m2, g2)
+    return ignorm(w, g2)
