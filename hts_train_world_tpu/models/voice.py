@@ -50,9 +50,24 @@ def _pdf_payload(trees: Sequence[Tree], msd_weights=None) -> bytes:
     return buf.getvalue()
 
 
+def _collect_questions(trees: Sequence[Tree]):
+    seen = {}
+    for t in trees:
+        def walk(n):
+            if n.question is not None:
+                seen[n.question.name] = n.question
+                walk(n.yes)
+                walk(n.no)
+        walk(t.root)
+    return seen
+
+
 def _tree_payload(trees: Sequence[Tree], name: str) -> bytes:
-    return "".join(tree_to_hts_text(t, name, s)
-                   for s, t in enumerate(trees)).encode()
+    qs = _collect_questions(trees)
+    head = "".join(f'QS "{q.name}" {{{",".join(q.patterns)}}}\n'
+                   for q in qs.values())
+    return (head + "".join(tree_to_hts_text(t, name, s)
+                           for s, t in enumerate(trees))).encode()
 
 
 def _window_payload(windows) -> bytes:
@@ -141,4 +156,107 @@ def read_htsvoice_header(path: str) -> Dict[str, str]:
         if ":" in line and not line.startswith("["):
             k, v = line.split(":", 1)
             out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# loader (the hts_engine-side of the contract)
+# ---------------------------------------------------------------------------
+
+
+def _parse_trees(text: str, dim: int, payload: bytes, msd: bool):
+    """Rebuild Tree objects from a tree payload + its pdf payload."""
+    from hts_train_world_tpu.models.clustering import Node, Question, Tree
+    questions = {}
+    tree_blocks: List[List[str]] = []
+    cur: Optional[List[str]] = None
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("QS "):
+            name = line.split('"')[1]
+            patts = line[line.index("{") + 1:line.rindex("}")].split(",")
+            questions[name] = Question(name, patts)
+        elif line.startswith("{*}"):
+            cur = []
+            tree_blocks.append(cur)
+        elif cur is not None and line.startswith('"'):
+            cur.append("LEAF")  # single-leaf tree body
+        elif cur is not None and line and line != "}":
+            cur.append(line)
+
+    n_states = len(tree_blocks)
+    counts = struct.unpack(f"<{n_states}i", payload[:4 * n_states])
+    off = 4 * n_states
+    per_leaf = dim * 2 + (2 if msd else 0)
+    trees = []
+    msd_w = []
+    for s, block in enumerate(tree_blocks):
+        leaves = []
+        weights = []
+        for _ in range(counts[s]):
+            vals = np.frombuffer(payload, "<f4", per_leaf, off)
+            off += per_leaf * 4
+            leaves.append((vals[:dim].astype(float),
+                           vals[dim:2 * dim].astype(float)))
+            if msd:
+                weights.append(float(vals[2 * dim]))
+        if block and block[0] == "LEAF":
+            root = Node(leaf_id=0)
+        else:
+            import re as _re
+            nodes = {}
+            for line in block:
+                # ' -id "QName" <noRef> <yesRef>' (refs may be quoted leaves)
+                toks = _re.findall(r'"[^"]*"|\S+', line)
+                nid = int(toks[0])
+                nodes[nid] = (toks[1].strip('"'), toks[2], toks[3])
+
+            def build(ref: str) -> Node:
+                if ref.startswith('"'):
+                    leaf_id = int(ref.strip('"').rsplit("_", 1)[1]) - 1
+                    return Node(leaf_id=leaf_id)
+                qname, no_ref, yes_ref = nodes[int(ref)]
+                return Node(questions[qname], build(yes_ref), build(no_ref))
+
+            root = build(str(min(nodes)))
+        trees.append(Tree(root, leaves))
+        msd_w.append(np.asarray(weights) if msd else None)
+    return trees, msd_w
+
+
+def load_htsvoice(path: str):
+    """Load an exported voice back into per-stream trees + params:
+    {stream: {"trees": [Tree], "msd_weights": [...]}} plus globals."""
+    hdr = read_htsvoice_header(path)
+    data = open(path, "rb").read()
+    body = data[data.index(b"[DATA]\n") + 7:]
+
+    def payload(tag):
+        s, e = hdr[tag].split("-")
+        return body[int(s):int(e) + 1]
+
+    stream_names = hdr["STREAM_TYPE"].split(",")
+    inv = {v: k for k, v in STREAM_NAMES.items()}
+    out = {"global": hdr, "streams": {}}
+    n_states = int(hdr["NUM_STATES"])
+    dur_trees, _ = _parse_trees(payload("DURATION_TREE").decode(),
+                                n_states, payload("DURATION_PDF"), False)
+    out["duration"] = dur_trees
+    for tag in stream_names:
+        name = inv.get(tag, tag.lower())
+        dim_static = int(hdr[f"VECTOR_LENGTH[{tag}]"])
+        msd = hdr[f"IS_MSD[{tag}]"] == "1"
+        # pdf dim = leaf mean length; infer from payload via counts
+        ttext = payload(f"STREAM_TREE[{tag}]").decode()
+        pdf = payload(f"STREAM_PDF[{tag}]")
+        # infer dim: total bytes = 4*S + sum(counts)*(2*dim(+2))*4
+        # parse counts first with a probe
+        # (counts are the first S int32s)
+        counts = struct.unpack(f"<{n_states}i", pdf[:4 * n_states])
+        total = len(pdf) - 4 * n_states
+        per_leaf_f = total // (4 * sum(counts))
+        dim = (per_leaf_f - (2 if msd else 0)) // 2
+        trees, msd_w = _parse_trees(ttext, dim, pdf, msd)
+        out["streams"][name] = {"trees": trees, "msd_weights": msd_w,
+                                "static_dim": dim_static, "is_msd": msd}
     return out

@@ -56,3 +56,38 @@ def test_export_and_positions(tmp_path):
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert s2 == e1 + 1
     assert spans[-1][1] == len(body) - 1
+
+
+def test_voice_roundtrip(tmp_path):
+    """Export -> load must reproduce tied lookups exactly."""
+    import numpy as np
+    from hts_train_world_tpu.models import voice
+    n_states = 2
+    streams = [
+        voice.StreamPack("mgc", 4, False, 3,
+                         [_tree(12, 2), _tree(12, 1)]),
+        voice.StreamPack("lf0", 2, True, 3,
+                         [_tree(6, 2), _tree(6, 2)],
+                         msd_weights=[np.array([0.9, 0.2]),
+                                      np.array([0.7, 0.4])]),
+    ]
+    dur = voice.StreamPack("dur", n_states, False, 1, [_tree(n_states, 2)])
+    p = tmp_path / "rt.htsvoice"
+    voice.export_htsvoice(str(p), 16000, 80, n_states, streams, dur)
+    loaded = voice.load_htsvoice(str(p))
+    assert set(loaded["streams"]) == {"mgc", "lf0"}
+    for st in streams:
+        got = loaded["streams"][st.name]
+        assert len(got["trees"]) == n_states
+        for s in range(n_states):
+            src = st.trees[s]
+            dst = got["trees"][s]
+            assert dst.n_leaves == src.n_leaves
+            for ctx in ("x^x-a+x", "x^x-k+x"):
+                li_s, li_d = src.leaf_of(ctx), dst.leaf_of(ctx)
+                np.testing.assert_allclose(dst.leaf_params[li_d][0],
+                                           src.leaf_params[li_s][0],
+                                           rtol=1e-6)
+            if st.is_msd:
+                np.testing.assert_allclose(got["msd_weights"][s],
+                                           st.msd_weights[s], atol=1e-6)
