@@ -92,3 +92,25 @@ def test_sharded_train_step_dp_tp():
              "spkr": jnp.zeros(64, jnp.int32)}
     params, opt_state, loss = step(params, opt_state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_trajectory_training_runs(tmp_path):
+    """Trajectory fine-tuning (DNNTraining TRAJ mode) over tiny utterances."""
+    from hts_train_world_tpu.models import dataio, training
+    rng = np.random.default_rng(5)
+    feature_dims, msd_flags = (3, 1), (0, 1)
+    ncol = sum(msd_flags) + 3 * sum(feature_dims)
+    cfg = acoustic.ModelConfig(n_in=8, n_out=ncol, hidden=(16,),
+                               dtype="float32")
+    pairs = [dataio.UtterancePair(
+        f"u{i}", rng.standard_normal((40, 8)).astype(np.float32),
+        rng.standard_normal((40, ncol)).astype(np.float32))
+        for i in range(2)]
+    tc = training.TrainConfig(num_steps=6, batch_size=1, log_interval=3,
+                              save_interval=6, trajectory=True,
+                              valid_fraction=0.0)
+    params = training.train(cfg, tc, pairs, str(tmp_path / "ck"),
+                            feature_dims=feature_dims, msd_flags=msd_flags,
+                            log=lambda m: None)
+    out = training.forward_corpus(cfg, params, pairs[0].ffi)
+    assert out.shape == (40, ncol) and np.isfinite(out).all()
