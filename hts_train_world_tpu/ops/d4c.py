@@ -89,11 +89,20 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
         seg = jax.lax.dynamic_slice(sgd, (center - hw,), (window_length,))
         spec = jnp.fft.rfft(seg * window, fft_d)
         p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        c = jnp.cumsum(jnp.sort(p))
         tiny = prims.tiny_floor(p.dtype)
-        out.append(10.0 * jnp.log10(
-            jnp.maximum(c[half - boundary - 1], tiny)
-            / jnp.maximum(c[half], tiny)))
+        if p.dtype == jnp.float64:
+            # parity: the C sorts ascending and cumsums (d4c.cpp:215-220)
+            c = jnp.cumsum(jnp.sort(p))
+            num = c[half - boundary - 1]
+            den = c[half]
+        else:
+            # fast path: cum[half-b-1] = total - sum(top (b+1)); top_k is
+            # far cheaper than a full TPU sort (reassociates the sum only)
+            den = jnp.sum(p)
+            topk, _ = jax.lax.top_k(p, boundary + 1)
+            num = den - jnp.sum(topk)
+        out.append(10.0 * jnp.log10(jnp.maximum(num, tiny)
+                                    / jnp.maximum(den, tiny)))
     return jnp.stack(out)
 
 

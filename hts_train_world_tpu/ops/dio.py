@@ -149,7 +149,8 @@ def fix_f0_contour(best_f0, f0_candidates, frame_period: float,
 
     zero = s2[0] * 0.0  # derives device-varying type under shard_map
     (_, _, _), ys = jax.lax.scan(
-        fwd, (zero != 0.0, s2[0], zero), (neg_b, s2[1:], cands_T[1:]))
+        fwd, (zero != 0.0, s2[0], zero), (neg_b, s2[1:], cands_T[1:]),
+        unroll=32)
     s3 = jnp.concatenate([s2[:1], ys])
 
     # Step4 (backward extension from positive boundaries, dio.cpp:237-253)
@@ -165,7 +166,7 @@ def fix_f0_contour(best_f0, f0_candidates, frame_period: float,
 
     (_, _, _), ys4 = jax.lax.scan(
         bwd, (zero != 0.0, s3[-1], zero),
-        (pos_b[::-1], s3[:-1][::-1], cands_T[:-1][::-1]))
+        (pos_b[::-1], s3[:-1][::-1], cands_T[:-1][::-1]), unroll=32)
     s4 = jnp.concatenate([s3[-1:], ys4])[::-1]
     return s4
 

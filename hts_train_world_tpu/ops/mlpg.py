@@ -83,7 +83,7 @@ def banded_ldlt_solve(diags, rhs):
 
     one = jnp.ones((), dtype)
     (_, _, _, _, _), (ys, ds, l1s, l2s) = jax.lax.scan(
-        fwd, (one, one, zero, zero, zero), (a0, am1, am2, rhs))
+        fwd, (one, one, zero, zero, zero), (a0, am1, am2, rhs), unroll=16)
     zs = ys / ds
 
     # back: c_i = z_i - L[i+1, i] c_{i+1} - L[i+2, i] c_{i+2}
@@ -97,7 +97,8 @@ def banded_ldlt_solve(diags, rhs):
         return (c_i, c1), c_i
 
     _, cs = jax.lax.scan(back, (zero, zero),
-                         (zs[::-1], l1_next[::-1], l2_next2[::-1]))
+                         (zs[::-1], l1_next[::-1], l2_next2[::-1]),
+                         unroll=16)
     return cs[::-1]
 
 

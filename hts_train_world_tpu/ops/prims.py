@@ -174,7 +174,7 @@ def _iir_filter_for_decimate(x, r: int):
         return (wt, w0, w1), yt
 
     zero = jnp.zeros((), x.dtype)
-    _, y = jax.lax.scan(body, (zero, zero, zero), x)
+    _, y = jax.lax.scan(body, (zero, zero, zero), x, unroll=64)
     return y
 
 

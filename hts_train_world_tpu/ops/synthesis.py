@@ -33,9 +33,12 @@ def synthesis_stream_len(y_length: int) -> int:
 
 
 def default_max_pulses(y_length: int, fs: int) -> int:
-    # pulse rate = interpolated f0: <= ~f0_ceil in voiced parts (edge
-    # extrapolation can overshoot briefly), kDefaultF0 in unvoiced parts.
-    return int(y_length * 1200.0 / fs) + 16
+    # pulse rate = interpolated f0 <= f0_ceil (800) in voiced parts,
+    # kDefaultF0 (500) in unvoiced parts; the end-of-contour linear
+    # extrapolation can overshoot only within the last frame.  Slots
+    # beyond the cap are masked, so the cap trades per-pulse compute
+    # against headroom.
+    return int(y_length * 810.0 / fs) + 80
 
 
 def _dc_remover(fft_size: int, dtype):
@@ -98,7 +101,8 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
         def acc(c, d):
             c = c + d
             return c, c
-        _, total_phase = jax.lax.scan(acc, deltas[0] * 0.0, deltas)
+        _, total_phase = jax.lax.scan(acc, deltas[0] * 0.0, deltas,
+                                      unroll=64)
     else:
         total_phase = jnp.cumsum(deltas)
     wrap = jnp.mod(total_phase, 2.0 * jnp.pi)

@@ -65,7 +65,8 @@ def _chunk_pulses(f0_all, sp_all, ap_all, phase0, chunk_start,
         c = c + d
         return c, c
     _, total_phase = jax.lax.scan(
-        acc, phase0, prims.exact_div(2.0 * jnp.pi * if0, float(fs)))
+        acc, phase0, prims.exact_div(2.0 * jnp.pi * if0, float(fs)),
+        unroll=64)
     wrap = jnp.mod(total_phase, 2.0 * jnp.pi)
     wrap_prev = jnp.concatenate(
         [jnp.mod(phase0, 2.0 * jnp.pi)[None], wrap[:-1]])
