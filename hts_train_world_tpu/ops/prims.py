@@ -49,15 +49,17 @@ def exact_div(x, divisor: float):
 
 def compact_indices(mask, cap: int, fill_value: int):
     """Positions of True entries in ascending order, padded to `cap` with
-    fill_value — semantically jnp.nonzero(mask, size=cap, fill_value=...),
-    but via cumsum + scatter (O(n)) instead of XLA's sort-based lowering,
-    which dominates runtime on TPU for long signals."""
-    n = mask.shape[0]
-    slot = jnp.cumsum(mask) - 1
-    target = jnp.where(mask, slot, cap)  # dropped when >= cap
-    pos = jnp.arange(n, dtype=jnp.int32)
-    out = jnp.full(cap, fill_value, jnp.int32)
-    return out.at[target].set(pos, mode="drop")
+    fill_value — semantically jnp.nonzero(mask, size=cap, fill_value=...).
+
+    Implemented as a binary search over the inclusive cumsum (the k-th
+    True sits where cumsum first reaches k+1): O(cap * log n) fully
+    vectorized gathers — TPU lowers both nonzero (sort) and scatter
+    poorly, and this avoids both."""
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    k = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(csum, k, side="left").astype(jnp.int32)
+    n_true = csum[-1]
+    return jnp.where(k <= n_true, idx, fill_value)
 
 
 def matlab_round(x):
