@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from hts_train_world_tpu import config as cfg
-from hts_train_world_tpu.ops import prims
+from hts_train_world_tpu.ops import fftmat, prims
 
 
 def _max_f0(fs: int) -> float:
@@ -74,6 +74,9 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
 
     # quefrency-domain lifters (cheaptrick.cpp:28-37), f0-dependent per frame
     q = jnp.arange(half + 1, dtype=dtype) / fs
+    # float32 fast path: the per-frame rffts and the smoothing-recovery
+    # chain run as MXU matmuls (ops/fftmat.py); f64 keeps jnp.fft parity
+    use_matmul = dtype == jnp.float32 and N <= 2048
 
     def frame(pos, f0i, nw, ns):
         h = prims.matlab_round_i(1.5 * fs / f0i)
@@ -91,8 +94,15 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
         coef = jnp.sum(wave) / jnp.sum(w)
         wave = jnp.where(valid, wave - w * coef, 0.0)
 
-        spec = jnp.fft.rfft(wave)
-        ps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        if use_matmul:
+            # measured: identical f32 accuracy to jnp.fft on this input
+            # class (the f32/f64 divergence at deep nulls is inherent to
+            # the 32-bit dynamic range, with or without matmul)
+            sre, sim = fftmat.rfft_matmul(wave, N)
+            ps = sre * sre + sim * sim
+        else:
+            spec = jnp.fft.rfft(wave)
+            ps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         ps = prims.dc_correction(ps, f0i, fs, N, ul_max)
         ps = prims.linear_smoothing(ps, f0i * 2.0 / 3.0, fs, N, b_max)
         ps = ps + jnp.abs(ns) * cfg.K_EPS  # AddInfinitesimalNoise
@@ -105,6 +115,11 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
         sl = jnp.where(jnp.arange(half + 1) == 0, 1.0, jnp.sin(qf) / qf)
         cl = (1.0 - 2.0 * q1) + 2.0 * q1 * jnp.cos(2.0 * jnp.pi * q * f0i)
         log_ps = jnp.log(ps)
+        if use_matmul:
+            creal = log_ps @ fftmat.sym_rfft_real_mat(N, dtype)
+            spec2 = creal * sl * cl / N
+            A, _ = fftmat.irfft_half_mats(N, dtype)
+            return jnp.exp(spec2 @ A)
         sym = jnp.concatenate([log_ps, log_ps[-2:0:-1]])
         C = jnp.conj(jnp.fft.rfft(sym))  # wrapper negates imag (fft.cpp:57)
         spec2 = jnp.real(C) * sl * cl / N  # imag forced to 0 (cheaptrick.cpp:48)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from hts_train_world_tpu import config as cfg
-from hts_train_world_tpu.ops import prims
+from hts_train_world_tpu.ops import fftmat, prims
 
 
 def d4c_stream_len(f0_length: int, fs: int) -> int:
@@ -62,12 +62,17 @@ def _love_train(x, fs: int, f0, temporal_positions, noise_lt):
     b1 = int(-(-4000.0 * n // fs))
     b2 = int(-(-7900.0 * n // fs))
 
+    use_matmul = dtype == jnp.float32 and n <= 2048
+
     def frame(f0i, pos, noise):
         lf0 = jnp.maximum(f0i, 40.0)
         wave, _ = _windowed_waveform(x, L, fs, lf0, pos, "blackman", 3.0,
                                      noise, n, dtype)
-        spec = jnp.fft.rfft(wave)
-        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        if use_matmul:
+            p = fftmat.rfft_power_matmul(wave, n)
+        else:
+            spec = jnp.fft.rfft(wave)
+            p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         k = jnp.arange(n // 2 + 1)
         p = jnp.where(k <= b0, 0.0, p)
         c = jnp.cumsum(jnp.where(k <= b2, p, 0.0))
@@ -87,8 +92,11 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
     for i in range(n_ap):
         center = int(cfg.K_FREQUENCY_INTERVAL * (i + 1) * fft_d / fs)
         seg = jax.lax.dynamic_slice(sgd, (center - hw,), (window_length,))
-        spec = jnp.fft.rfft(seg * window, fft_d)
-        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        if sgd.dtype == jnp.float32 and fft_d <= 2048:
+            p = fftmat.rfft_power_matmul(seg * window, fft_d)
+        else:
+            spec = jnp.fft.rfft(seg * window, fft_d)
+            p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         tiny = prims.tiny_floor(p.dtype)
         if p.dtype == jnp.float64:
             # parity: the C sorts ascending and cumsums (d4c.cpp:215-220)
@@ -159,6 +167,8 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
     noise_c1, noise_c2, noise_sp = (slice_block(k) for k in range(3))
 
     # ---- main body ----
+    use_matmul_d = dtype == jnp.float32 and fft_d <= 2048
+
     def centroid(f0i, pos, noise):
         """GetCentroid (d4c.cpp:90-119)."""
         wave, h = _windowed_waveform(x, L, fs, f0i, pos, "blackman", 4.0,
@@ -166,6 +176,11 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         # normalize over i <= 2*round(2fs/f0) (inclusive) — same 2h span
         power = jnp.sum(wave * wave)
         wave = wave / jnp.sqrt(power)
+        if use_matmul_d:
+            r1, i1 = fftmat.rfft_matmul(wave, fft_d)
+            r2, i2 = fftmat.rfft_matmul(
+                wave * (j_b.astype(dtype) + 1.0), fft_d)
+            return r2 * r1 + i1 * i2
         s1 = jnp.fft.rfft(wave)
         s2 = jnp.fft.rfft(wave * (j_b.astype(dtype) + 1.0))
         return jnp.real(s2) * jnp.real(s1) + jnp.imag(s1) * jnp.imag(s2)
@@ -176,8 +191,11 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         sc = prims.dc_correction(c1 + c2, f0i, fs, fft_d, ul_max)
         wave, _ = _windowed_waveform(x, L, fs, f0i, pos, "hanning", 4.0,
                                      nsp, fft_d, dtype)
-        spec = jnp.fft.rfft(wave)
-        sps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        if use_matmul_d:
+            sps = fftmat.rfft_power_matmul(wave, fft_d)
+        else:
+            spec = jnp.fft.rfft(wave)
+            sps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         sps = prims.dc_correction(sps, f0i, fs, fft_d, ul_max)
         sps = prims.linear_smoothing(sps, f0i, fs, fft_d, b_max)
         # GetStaticGroupDelay (d4c.cpp:170-186).  float32 fast path:

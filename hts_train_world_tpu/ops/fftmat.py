@@ -99,3 +99,40 @@ def minphase_matmul(log_half, N: int):
     dim = log_half @ I
     mag = jnp.exp(dre)
     return mag * jnp.cos(dim), mag * jnp.sin(dim)
+
+
+@functools.lru_cache(maxsize=None)
+def _sym_rfft_real_mat_np(N: int):
+    half = N // 2
+    eye = np.eye(half + 1)
+    sym = np.concatenate([eye, eye[-2:0:-1]], axis=0)   # (N, half+1)
+    return np.ascontiguousarray(np.fft.rfft(sym, axis=0).real.T)
+
+
+def sym_rfft_real_mat(N: int, dtype=jnp.float32):
+    """Linear map log-half-spectrum -> Re(rfft(mirrored)), (h+1, h+1)."""
+    return jnp.asarray(_sym_rfft_real_mat_np(N), dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _irfft_half_mats_np(N: int):
+    A, B = _irfft_mats_np(N)
+    half = N // 2
+    return (np.ascontiguousarray(A[:, :half + 1]),
+            np.ascontiguousarray(B[:, :half + 1]))
+
+
+def irfft_half_mats(N: int, dtype=jnp.float32):
+    """irfft(X)*N restricted to the first N/2+1 output samples."""
+    A, B = _irfft_half_mats_np(N)
+    return jnp.asarray(A, dtype), jnp.asarray(B, dtype)
+
+
+def rfft_power_matmul(x, N: int):
+    """|rfft(x, N)|^2 via matmuls; x (..., L) with L <= N zero-padding
+    semantics (the operator rows are sliced to L)."""
+    L = x.shape[-1]
+    C, S = rfft_mats(N, x.dtype)
+    re = x @ C[:L]
+    im = x @ S[:L]
+    return re * re + im * im
