@@ -84,7 +84,13 @@ def collect_context_stats(modelset: hsmm.ModelSet, utterances,
     dur_stats = [dict() for _ in range(S)]
     for frames, ctx_seq in utterances:
         mono = [phone_of(c) for c in ctx_seq]
-        _, ends = hsmm.align_utterance(modelset, frames, mono, max_dur)
+        try:
+            _, ends = hsmm.align_utterance(modelset, frames, mono, max_dur)
+        except ValueError:
+            # utterance shorter than its chain: unalignable, skip (the
+            # reference's screening drops such utterances up front,
+            # data/Makefile.in:216-238)
+            continue
         starts = np.concatenate([[0], ends[:-1]])
         for li, ctx in enumerate(ctx_seq):
             for s in range(S):

@@ -230,10 +230,10 @@ def viterbi_segment(obs_ll, dur_mean, dur_var, max_dur: int = 40):
     return best_ll, ends
 
 
-def align_utterance(modelset: ModelSet, frames: np.ndarray,
-                    label_seq: Sequence[str], max_dur: int = 40):
-    """HSMMAlign equivalent: Viterbi state boundaries for the utterance's
-    label sequence.  Returns (loglik, state_end_frames (n_labels*S,))."""
+def chain_loglik(modelset: ModelSet, frames: np.ndarray,
+                 label_seq: Sequence[str]):
+    """Per-frame observation log-likelihoods for the utterance's composed
+    state chain: returns (obs_ll (T, n_labels*S), dur_mean, dur_var)."""
     S = modelset.n_states
     idxs = [modelset.index(n) for n in label_seq]
     sls = tuple((s.sl.start, s.sl.stop) for s in modelset.streams)
@@ -255,8 +255,132 @@ def align_utterance(modelset: ModelSet, frames: np.ndarray,
                              for mi in idxs])
     dvar = jnp.concatenate([jnp.asarray(modelset.dur_var[mi])
                             for mi in idxs])
+    return obs_ll, dmean, dvar
+
+
+def align_utterance(modelset: ModelSet, frames: np.ndarray,
+                    label_seq: Sequence[str], max_dur: int = 40):
+    """HSMMAlign equivalent: Viterbi state boundaries for the utterance's
+    label sequence.  Returns (loglik, state_end_frames (n_labels*S,)).
+
+    Raises ValueError when the utterance is shorter than its composed
+    chain (every state needs >=1 frame) — the reference's HSMMAlign
+    likewise fails on infeasible utterances rather than emitting
+    garbage boundaries (Training.pl:601-618 drops them)."""
+    n_chain = len(label_seq) * modelset.n_states
+    if len(frames) < n_chain:
+        raise ValueError(
+            f"utterance has {len(frames)} frames but the label chain needs "
+            f">= {n_chain} ({len(label_seq)} labels x {modelset.n_states} "
+            f"states); alignment is infeasible")
+    obs_ll, dmean, dvar = chain_loglik(modelset, frames, label_seq)
     ll, ends = viterbi_segment(obs_ll, dmean, dvar, max_dur)
     return float(ll), np.asarray(ends)
+
+
+# ---------------------------------------------------------------------------
+# full (soft-occupancy) HSMM forward-backward — HERest's Baum-Welch E-step
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_dur",))
+def forward_backward_segment(obs_ll, dur_mean, dur_var, max_dur: int = 40,
+                             temper: float = 1.0):
+    """Soft-occupancy E-step over the composed left-to-right chain — the
+    exact counterpart of HERest's full Baum-Welch (the reference's HERest,
+    Training.pl:248-258, differs from HSMMAlign only in soft vs. hard
+    counts).  `temper` is the DAEM temperature k in HERest's `-k` flag
+    (Training.pl:428-429): log-likelihoods are scaled by k, annealing the
+    posterior from flat (k->0) to exact (k=1).
+
+    obs_ll (T, S), dur_mean/var (S,).  Returns
+    (log_evidence, gamma (T, S) frame occupancies,
+     dur_stats (S, 3) = [segment mass, E[d]*mass, E[d^2]*mass]).
+    """
+    T, S = obs_ll.shape
+    obs_ll = obs_ll * temper
+    csum = jnp.concatenate([jnp.zeros((1, S), obs_ll.dtype),
+                            jnp.cumsum(obs_ll, 0)], 0)  # (T+1, S)
+    ds = jnp.arange(1, max_dur + 1, dtype=obs_ll.dtype)
+    NEG = jnp.asarray(LOG_ZERO, obs_ll.dtype)
+    t = jnp.arange(T + 1)
+
+    def seg_term(s):
+        """(T+1, Dmax): [t0, d-1] -> dur_ll + sum obs_ll[t0:t0+d, s],
+        masked where t0+d > T."""
+        dll = _dur_ll(ds, dur_mean[s], dur_var[s]) * temper
+        te = t[:, None] + ds.astype(jnp.int32)[None, :]
+        valid = te <= T
+        tec = jnp.clip(te, 0, T)
+        seg = jnp.take(csum[:, s], tec) - csum[:, s][:, None]
+        return jnp.where(valid, dll[None, :] + seg, NEG), tec, valid
+
+    # forward: F[s, t] = log P(states 0..s-1 complete at t, obs[0:t])
+    f0 = jnp.full(T + 1, NEG, obs_ll.dtype).at[0].set(0.0)
+
+    def fwd_step(f_prev, s):
+        terms, tec, valid = seg_term(s)
+        # F[s][t0+d] <- LSE over (t0, d): f_prev[t0] + terms[t0, d]
+        cand = jnp.where(valid, f_prev[:, None] + terms, NEG)
+        # log-space scatter-LSE: per-destination max, then exp/add/log
+        mdest = jnp.full(T + max_dur + 2, NEG, obs_ll.dtype).at[
+            tec.ravel()].max(cand.ravel())
+        p = jnp.where(valid, jnp.exp(cand - jnp.take(mdest, tec)), 0.0)
+        acc = jnp.zeros(T + max_dur + 2, obs_ll.dtype).at[
+            tec.ravel()].add(p.ravel())
+        f_next = jnp.where(acc > 0,
+                           jnp.log(jnp.maximum(acc, 1e-300)) + mdest,
+                           NEG)[:T + 1]
+        return f_next, f_next
+
+    _, F = jax.lax.scan(fwd_step, f0, jnp.arange(S))  # (S, T+1)
+
+    # backward: B[s, t0] = log P(obs[t0:T] | states s..S-1 start at t0)
+    bS = jnp.full(T + 1, NEG, obs_ll.dtype).at[T].set(0.0)
+
+    def bwd_step(b_next, s):
+        terms, tec, valid = seg_term(s)
+        cand = jnp.where(valid, terms + jnp.take(b_next, tec), NEG)
+        b = jax.scipy.special.logsumexp(cand, axis=1)
+        return b, b
+
+    _, Brev = jax.lax.scan(bwd_step, bS, jnp.arange(S - 1, -1, -1))
+    B = Brev[::-1]  # (S, T+1); B[s, t0] includes state s itself
+
+    logZ = B[0, 0]
+
+    # segment posteriors per state: xi[s](t0, d)
+    Fin = jnp.concatenate([f0[None], F[:-1]], 0)   # (S, T+1): F before s
+    Bout = jnp.concatenate([B[1:], bS[None]], 0)   # (S, T+1): B after s
+
+    def gamma_state(s):
+        terms, tec, valid = seg_term(s)
+        xi = Fin[s][:, None] + terms + jnp.take(Bout[s], tec) - logZ
+        p = jnp.where(valid, jnp.exp(jnp.minimum(xi, 0.0)), 0.0)
+        # occupancy via the start/end difference trick
+        starts = jnp.sum(p, axis=1)                       # add at t0
+        ends = jnp.zeros(T + max_dur + 2, obs_ll.dtype).at[
+            tec.ravel()].add(p.ravel())                   # subtract at t0+d
+        diff = starts - ends[:T + 1]
+        gam = jnp.cumsum(diff)[:T]
+        mass = jnp.sum(p)
+        ed = jnp.sum(p * ds[None, :])
+        ed2 = jnp.sum(p * (ds ** 2)[None, :])
+        return gam, jnp.stack([mass, ed, ed2])
+
+    gamma, dstats = jax.vmap(gamma_state, out_axes=(1, 0))(jnp.arange(S))
+    return logZ, gamma, dstats
+
+
+def occupancy_utterance(modelset: ModelSet, frames: np.ndarray,
+                        label_seq: Sequence[str], max_dur: int = 40,
+                        temper: float = 1.0):
+    """Soft E-step for one utterance: (log_evidence, gamma (T, K),
+    dur_stats (K, 3)) over the K = n_labels*S chain states."""
+    obs_ll, dmean, dvar = chain_loglik(modelset, frames, label_seq)
+    ll, gamma, dstats = forward_backward_segment(
+        obs_ll, dmean, dvar, max_dur, temper)
+    return float(ll), np.asarray(gamma), np.asarray(dstats)
 
 
 # ---------------------------------------------------------------------------
@@ -264,22 +388,114 @@ def align_utterance(modelset: ModelSet, frames: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _soft_reestimate_iter(modelset: ModelSet, utterances, floor,
+                          max_dur: int, temper: float) -> float:
+    """One full-Baum-Welch iteration: soft occupancies from the HSMM
+    forward-backward, closed-form M-step on the weighted moments."""
+    S = modelset.n_states
+    acc: Dict = {}
+    total_ll = 0.0
+    for frames, label_seq in utterances:
+        ll, gamma, dstats = occupancy_utterance(
+            modelset, frames, label_seq, max_dur, temper)
+        if ll <= LOG_ZERO / 2:
+            # infeasible chain (e.g. fewer frames than states, or every
+            # duration beyond max_dur): the posterior is undefined, so the
+            # occupancies are garbage — drop the utterance from the counts
+            # like the reference's screening gates do
+            continue
+        total_ll += ll
+        x2 = frames ** 2
+        occ_x = gamma.T @ frames                  # (K, D)
+        occ_x2 = gamma.T @ x2
+        occ = gamma.sum(0)                        # (K,)
+        masked = {}
+        for st in modelset.streams:
+            if st.msd:
+                pm = (frames[:, st.msd_flag_col] != 0.0).astype(float)
+                gm = gamma * pm[:, None]
+                masked[st.name] = (gm.sum(0), gm.T @ frames[:, st.sl],
+                                   gm.T @ x2[:, st.sl])
+        for li, name in enumerate(label_seq):
+            for s in range(S):
+                k = li * S + s
+                a = acc.setdefault((name, s), {
+                    "occ": 0.0, "x": 0.0, "x2": 0.0, "dur": np.zeros(3)})
+                a["occ"] += occ[k]
+                a["x"] = a["x"] + occ_x[k]
+                a["x2"] = a["x2"] + occ_x2[k]
+                a["dur"] += dstats[k]
+                for st in modelset.streams:
+                    if st.msd:
+                        mo, mx, mx2 = masked[st.name]
+                        m = a.setdefault(st.name, [0.0, 0.0, 0.0])
+                        m[0] += mo[k]
+                        m[1] = m[1] + mx[k]
+                        m[2] = m[2] + mx2[k]
+    for (name, s), a in acc.items():
+        mi = modelset.index(name)
+        if a["occ"] < 1e-6:
+            continue
+        mass, ed, ed2 = a["dur"]
+        if mass > 1e-6:
+            dm = ed / mass
+            modelset.dur_mean[mi, s] = dm
+            modelset.dur_var[mi, s] = max(ed2 / mass - dm * dm, 0.0) + 1.0
+        for st in modelset.streams:
+            if st.msd:
+                mo, mx, mx2 = a[st.name]
+                modelset.msd_weights[st.name][mi, s] = float(
+                    np.clip(mo / a["occ"], 1e-3, 1 - 1e-3))
+                if mo < 2.0:
+                    continue
+                mu = mx / mo
+                va = mx2 / mo - mu ** 2
+            else:
+                mu = a["x"][st.sl] / a["occ"]
+                va = a["x2"][st.sl] / a["occ"] - mu ** 2
+            modelset.means[st.name][mi, s] = mu
+            modelset.variances[st.name][mi, s] = np.maximum(
+                va, floor[st.sl])
+    return total_ll
+
+
 def embedded_reestimate(modelset: ModelSet, utterances, n_iters: int = 3,
                         var_floor_scale: float = 0.01, max_dur: int = 40,
-                        log=print):
-    """HERest-style embedded training via segmental EM.  utterances:
-    list of (frames (T, D), label_seq)."""
+                        log=print, mode: str = "viterbi",
+                        temper: float = 1.0):
+    """HERest-style embedded training.  utterances: list of
+    (frames (T, D), label_seq).
+
+    mode="viterbi": segmental EM (hard alignment, HInit/HRest style).
+    mode="baum_welch": full soft-occupancy HSMM EM — the exact
+    counterpart of the reference's HERest embedded re-estimation
+    (Training.pl:248-258, 433-440).
+    temper: DAEM temperature k (HERest -k, Training.pl:428-429); use
+    daem_reestimate for the full annealing schedule."""
     all_frames = np.concatenate([u[0] for u in utterances])
     _, gvar = global_stats(all_frames, modelset.streams)
     floor = gvar * var_floor_scale + 1e-8
     S = modelset.n_states
+
+    if mode == "baum_welch":
+        for it in range(n_iters):
+            total_ll = _soft_reestimate_iter(
+                modelset, utterances, floor, max_dur, temper)
+            log(f"embedded BW iter {it}: total loglik {total_ll:.1f}")
+        return modelset
+    if mode != "viterbi":
+        raise ValueError(f"unknown mode {mode!r}")
 
     for it in range(n_iters):
         seg_frames = {}   # (model, state) -> list of frame arrays
         seg_durs = {}
         total_ll = 0.0
         for frames, label_seq in utterances:
-            ll, ends = align_utterance(modelset, frames, label_seq, max_dur)
+            try:
+                ll, ends = align_utterance(modelset, frames, label_seq,
+                                           max_dur)
+            except ValueError:
+                continue  # unalignable utterance: drop from the counts
             total_ll += ll
             starts = np.concatenate([[0], ends[:-1]])
             for li, name in enumerate(label_seq):
@@ -314,6 +530,25 @@ def embedded_reestimate(modelset: ModelSet, utterances, n_iters: int = 3,
                     modelset.variances[st.name][mi, s] = np.maximum(
                         block.var(0), floor[st.sl])
         log(f"embedded EM iter {it}: total loglik {total_ll:.1f}")
+    return modelset
+
+
+def daem_reestimate(modelset: ModelSet, utterances, n_outer: int = 10,
+                    n_inner: int = 1, alpha: float = 1.0,
+                    var_floor_scale: float = 0.01, max_dur: int = 40,
+                    log=print):
+    """DAEM-annealed embedded training (Training.pl:421-431,
+    configure.ac:701-703 defaults DAEMNITER=10, DAEMALPHA=1.0): outer
+    iteration i runs n_inner Baum-Welch sweeps at temperature
+    k = (i / n_outer)**alpha, deterministically annealing the posterior
+    entropy from high to exact (k=1) — HERest's `-k` flag."""
+    for i in range(1, n_outer + 1):
+        k = (i / n_outer) ** alpha
+        log(f"DAEM outer {i}/{n_outer}: temperature k={k:.4f}")
+        embedded_reestimate(modelset, utterances, n_iters=n_inner,
+                            var_floor_scale=var_floor_scale,
+                            max_dur=max_dur, log=log,
+                            mode="baum_welch", temper=k)
     return modelset
 
 
