@@ -78,18 +78,32 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
     # chain run as MXU matmuls (ops/fftmat.py); f64 keeps jnp.fft parity
     use_matmul = dtype == jnp.float32 and N <= 2048
 
+    # fast mode: window gather as one contiguous dynamic_slice from an
+    # edge-padded x (padding replicates x[0]/x[-1] = clip semantics)
+    if dtype == jnp.float32:
+        pad = int(1.5 * fs / cfg.cheaptrick_f0_floor(fs, N) + 0.5) + 2
+        xp = jnp.concatenate([
+            jnp.full((pad,), x[0], dtype), x,
+            jnp.full((pad + N,), x[-1], dtype)])
+    else:
+        xp, pad = None, 0
+
     def frame(pos, f0i, nw, ns):
         h = prims.matlab_round_i(1.5 * fs / f0i)
         j = jnp.arange(N)
         valid = j <= 2 * h
         base_index = j - h
         origin = prims.matlab_round_i(pos * fs + 0.001)
-        safe = jnp.clip(origin + base_index, 0, L - 1)
         position = base_index.astype(dtype) / 1.5 / fs
         w = 0.5 * jnp.cos(jnp.pi * position * f0i) + 0.5
         w = jnp.where(valid, w, 0.0)
         w = w / jnp.sqrt(jnp.sum(w * w))
-        wave = jnp.where(valid, jnp.take(x, safe, mode="clip") * w
+        if xp is not None:
+            seg = jax.lax.dynamic_slice(xp, (origin - h + pad,), (N,))
+        else:
+            seg = jnp.take(x, jnp.clip(origin + base_index, 0, L - 1),
+                           mode="clip")
+        wave = jnp.where(valid, seg * w
                          + nw * cfg.K_MY_SAFE_GUARD_MINIMUM, 0.0)
         coef = jnp.sum(wave) / jnp.sum(w)
         wave = jnp.where(valid, wave - w * coef, 0.0)

@@ -31,15 +31,20 @@ def d4c_stream_len(f0_length: int, fs: int) -> int:
 
 
 def _windowed_waveform(x, L: int, fs: int, f0i, pos, window_type: str,
-                       ratio: float, noise, max_len: int, dtype):
+                       ratio: float, noise, max_len: int, dtype,
+                       xp=None, pad: int = 0):
     """GetWindowedWaveform (d4c.cpp:52-84): gather + window + tiny noise +
-    weighted mean removal, zero-masked beyond 2h."""
+    weighted mean removal, zero-masked beyond 2h.
+
+    Fast path: when `xp` (x edge-padded by `pad` >= h_max on both sides;
+    padding replicates x[0]/x[-1], exactly the clip-gather semantics) is
+    given, the window is one contiguous dynamic_slice instead of a
+    per-element gather — ~2x cheaper on TPU."""
     h = prims.matlab_round_i(ratio * fs / f0i / 2.0)
     j = jnp.arange(max_len)
     valid = j <= 2 * h
     base_index = j - h
     origin = prims.matlab_round_i(pos * fs + 0.001)
-    safe = jnp.clip(origin + base_index, 0, L - 1)
     position = (2.0 * base_index.astype(dtype) / ratio) / fs
     if window_type == "hanning":
         w = 0.5 * jnp.cos(jnp.pi * position * f0i) + 0.5
@@ -47,13 +52,19 @@ def _windowed_waveform(x, L: int, fs: int, f0i, pos, window_type: str,
         w = (0.42 + 0.5 * jnp.cos(jnp.pi * position * f0i)
              + 0.08 * jnp.cos(jnp.pi * position * f0i * 2.0))
     w = jnp.where(valid, w, 0.0)
-    wave = jnp.where(valid, jnp.take(x, safe, mode="clip") * w
+    if xp is not None:
+        seg = jax.lax.dynamic_slice(xp, (origin - h + pad,), (max_len,))
+    else:
+        seg = jnp.take(x, jnp.clip(origin + base_index, 0, L - 1),
+                       mode="clip")
+    wave = jnp.where(valid, seg * w
                      + noise * cfg.K_MY_SAFE_GUARD_MINIMUM, 0.0)
     coef = jnp.sum(wave) / jnp.sum(w)
     return jnp.where(valid, wave - w * coef, 0.0), h
 
 
-def _love_train(x, fs: int, f0, temporal_positions, noise_lt):
+def _love_train(x, fs: int, f0, temporal_positions, noise_lt,
+                xp=None, pad: int = 0):
     """D4CLoveTrain (d4c.cpp:258-282) -> aperiodicity0 per frame."""
     dtype = x.dtype
     L = x.shape[0]
@@ -67,7 +78,7 @@ def _love_train(x, fs: int, f0, temporal_positions, noise_lt):
     def frame(f0i, pos, noise):
         lf0 = jnp.maximum(f0i, 40.0)
         wave, _ = _windowed_waveform(x, L, fs, lf0, pos, "blackman", 3.0,
-                                     noise, n, dtype)
+                                     noise, n, dtype, xp, pad)
         if use_matmul:
             p = fftmat.rfft_power_matmul(wave, n)
         else:
@@ -137,34 +148,50 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
     window_length = int(cfg.K_FREQUENCY_INTERVAL * fft_d / fs) * 2 + 1
     window = prims.nuttall_window(window_length, dtype)
 
-    # ---- noise stream slicing (exact consumption order) ----
-    if stream is None:
-        stream = jnp.zeros(1, dtype)
-    h_lt = prims.matlab_round_i(1.5 * fs / jnp.maximum(f0, 40.0))
-    lt_counts = jnp.where(f0 == 0.0, 0, 2 * h_lt + 1)
-    lt_off = jnp.cumsum(lt_counts) - lt_counts
-    j_lt = jnp.arange(n_lt)
-    noise_lt = jnp.where(
-        j_lt[None, :] <= 2 * h_lt[:, None],
-        jnp.take(stream, lt_off[:, None] + j_lt[None, :], mode="clip"), 0.0)
-    noise_lt = jnp.where((f0 == 0.0)[:, None], 0.0, noise_lt)
+    # fast mode: one contiguous dynamic_slice per window instead of
+    # elementwise gathers — pad x with edge values (= clip semantics)
+    fast = stream is None and dtype == jnp.float32
+    if fast:
+        pad = int(2.0 * fs / cfg.K_FLOOR_F0_D4C + 0.5) + 2  # >= any h
+        xp = jnp.concatenate([
+            jnp.full((pad,), x[0], dtype), x,
+            jnp.full((pad + fft_d,), x[-1], dtype)])
+    else:
+        xp, pad = None, 0
 
-    ap0 = _love_train(x, fs, f0, temporal_positions, noise_lt)
+    # ---- noise stream slicing (exact consumption order) ----
+    j_b = jnp.arange(fft_d)
+    cf0 = jnp.maximum(cfg.K_FLOOR_F0_D4C, f0)
+    if stream is None:
+        # no reference noise: skip the offset bookkeeping entirely
+        zt = jnp.zeros((T, 1), dtype)
+        noise_lt = noise_c1 = noise_c2 = noise_sp = zt
+    else:
+        h_lt = prims.matlab_round_i(1.5 * fs / jnp.maximum(f0, 40.0))
+        lt_counts = jnp.where(f0 == 0.0, 0, 2 * h_lt + 1)
+        lt_off = jnp.cumsum(lt_counts) - lt_counts
+        j_lt = jnp.arange(n_lt)
+        noise_lt = jnp.where(
+            j_lt[None, :] <= 2 * h_lt[:, None],
+            jnp.take(stream, lt_off[:, None] + j_lt[None, :], mode="clip"),
+            0.0)
+        noise_lt = jnp.where((f0 == 0.0)[:, None], 0.0, noise_lt)
+
+    ap0 = _love_train(x, fs, f0, temporal_positions, noise_lt, xp, pad)
     process = (f0 != 0.0) & (ap0 > threshold)
 
-    cf0 = jnp.maximum(cfg.K_FLOOR_F0_D4C, f0)
-    h4 = prims.matlab_round_i(4.0 * fs / cf0 / 2.0)
-    body_counts = jnp.where(process, 3 * (2 * h4 + 1), 0)
-    body_off = jnp.sum(lt_counts) + jnp.cumsum(body_counts) - body_counts
-    j_b = jnp.arange(fft_d)
-    valid_b = j_b[None, :] <= 2 * h4[:, None]
+    if stream is not None:
+        h4 = prims.matlab_round_i(4.0 * fs / cf0 / 2.0)
+        body_counts = jnp.where(process, 3 * (2 * h4 + 1), 0)
+        body_off = jnp.sum(lt_counts) + jnp.cumsum(body_counts) - body_counts
+        valid_b = j_b[None, :] <= 2 * h4[:, None]
 
-    def slice_block(k):
-        off = body_off + k * (2 * h4 + 1)
-        nb = jnp.take(stream, off[:, None] + j_b[None, :], mode="clip")
-        return jnp.where(valid_b & process[:, None], nb, 0.0)
+        def slice_block(k):
+            off = body_off + k * (2 * h4 + 1)
+            nb = jnp.take(stream, off[:, None] + j_b[None, :], mode="clip")
+            return jnp.where(valid_b & process[:, None], nb, 0.0)
 
-    noise_c1, noise_c2, noise_sp = (slice_block(k) for k in range(3))
+        noise_c1, noise_c2, noise_sp = (slice_block(k) for k in range(3))
 
     # ---- main body ----
     use_matmul_d = dtype == jnp.float32 and fft_d <= 2048
@@ -172,7 +199,7 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
     def centroid(f0i, pos, noise):
         """GetCentroid (d4c.cpp:90-119)."""
         wave, h = _windowed_waveform(x, L, fs, f0i, pos, "blackman", 4.0,
-                                     noise, fft_d, dtype)
+                                     noise, fft_d, dtype, xp, pad)
         # normalize over i <= 2*round(2fs/f0) (inclusive) — same 2h span
         power = jnp.sum(wave * wave)
         wave = wave / jnp.sqrt(power)
@@ -190,7 +217,7 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         c2 = centroid(f0i, pos + 0.25 / f0i, nc2)
         sc = prims.dc_correction(c1 + c2, f0i, fs, fft_d, ul_max)
         wave, _ = _windowed_waveform(x, L, fs, f0i, pos, "hanning", 4.0,
-                                     nsp, fft_d, dtype)
+                                     nsp, fft_d, dtype, xp, pad)
         if use_matmul_d:
             sps = fftmat.rfft_power_matmul(wave, fft_d)
         else:
