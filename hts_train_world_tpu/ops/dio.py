@@ -235,6 +235,7 @@ def dio(x, fs: int, frame_period: float = 5.0,
 
     # --- per-band candidates (bands are static -> unrolled)
     cap = y_length // 2 + 2
+    duration = y_length / actual_fs
     cands, scores = [], []
     for boundary in plan["boundary_f0"]:
         half_avg = int(actual_fs / boundary / 2.0 + 0.5)  # matlab_round
@@ -243,8 +244,18 @@ def dio(x, fs: int, frame_period: float = 5.0,
         filt = jnp.fft.irfft(y_spec * jnp.fft.rfft(lpf), fft_size) * fft_size
         # delay compensation (dio.cpp:335-337)
         filt = jax.lax.dynamic_slice(filt, (2 * half_avg,), (y_length,))
+        if dtype == jnp.float32:
+            # fast path: the Nuttall low-pass at boundary_f0 bounds the
+            # zero-crossing rate of signal and derivative by ~boundary_f0
+            # (a band-limited signal has <= 2BT sign changes); 2.5x margin
+            # covers transition-band energy.  Shrinks the compaction /
+            # gather extent ~10-100x per band.  f64 parity keeps the
+            # worst-case cap (the C counts every crossing).
+            band_cap = min(cap, int(2.5 * boundary * duration) + 64)
+        else:
+            band_cap = cap
         c, s = _band_candidate(filt, y_length, actual_fs, boundary, f0_floor,
-                               f0_ceil, temporal_positions, cap)
+                               f0_ceil, temporal_positions, band_cap)
         cands.append(c)
         scores.append(s / (c + cfg.K_MY_SAFE_GUARD_MINIMUM))  # dio.cpp:563
     f0_candidates = jnp.stack(cands)

@@ -64,6 +64,17 @@ def stonemask(x, fs: int, temporal_positions, f0,
     L = x.shape[0]
     refined = jnp.zeros_like(f0)
 
+    # f32 fast path: the window gather round((pos+(j-h)/fs)*fs) is the
+    # contiguous range round(pos*fs) + j - h (exact in integer arithmetic;
+    # the f64 parity path keeps the reference's per-element float rounding)
+    fast = dtype == jnp.float32
+    if fast:
+        pad = int(1.5 * fs / cfg.K_FLOOR_F0_STONEMASK) + 8
+        Wmax = stonemask_buckets(fs, f0_floor, f0_ceil)[-1] // 2
+        xp = jnp.concatenate([
+            jnp.full((pad,), x[0], dtype), x,
+            jnp.full((pad + Wmax,), x[-1], dtype)])
+
     for B in stonemask_buckets(fs, f0_floor, f0_ceil):
         W = B // 2  # max window length in this bucket is < B/2
         half_w = (1.5 * fs / f0 + 1.0).astype(jnp.int32)  # trunc
@@ -77,8 +88,11 @@ def stonemask(x, fs: int, temporal_positions, f0,
             wlen = 2 * h + 1
             j = jnp.arange(W)
             valid = j <= 2 * h
-            base_time = (j - h).astype(dtype) / fs
-            index_raw = prims.matlab_round_i((pos + base_time) * fs)
+            if fast:
+                index_raw = prims.matlab_round_i(pos * fs) + (j - h)
+            else:
+                base_time = (j - h).astype(dtype) / fs
+                index_raw = prims.matlab_round_i((pos + base_time) * fs)
             wt = wlen.astype(dtype) / fs
             tmp = (index_raw.astype(dtype) - 1.0) / fs - pos
             mw = (0.42 + 0.5 * jnp.cos(2.0 * jnp.pi * tmp / wt)
@@ -89,7 +103,12 @@ def stonemask(x, fs: int, temporal_positions, f0,
             mw_p = jnp.concatenate([mw[1:], jnp.zeros(1, dtype)])
             mw_m = jnp.concatenate([jnp.zeros(1, dtype), mw[:-1]])
             dw = jnp.where(valid, -(mw_p - mw_m) / 2.0, 0.0)
-            seg = jnp.take(x, jnp.clip(index_raw - 1, 0, L - 1), mode="clip")
+            if fast:
+                start = prims.matlab_round_i(pos * fs) - h - 1 + pad
+                seg = jax.lax.dynamic_slice(xp, (start,), (W,))
+            else:
+                seg = jnp.take(x, jnp.clip(index_raw - 1, 0, L - 1),
+                               mode="clip")
             spec_m = jnp.fft.rfft(seg * mw, B)
             spec_d = jnp.fft.rfft(seg * dw, B)
             power = jnp.real(spec_m) ** 2 + jnp.imag(spec_m) ** 2
