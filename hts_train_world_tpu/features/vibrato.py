@@ -80,6 +80,14 @@ def extract(lf0_1d: np.ndarray, labels: List[LabelSegment],
     df0 = np.zeros((T, 2))
     df0_rel = np.zeros(T)
     vib = np.zeros((T, 2))
+    if not labels:
+        # no note labels (the reference only ever runs Extract.py with
+        # labels; without them it would zero the stream): keep the raw f0
+        # in dim 0 so lf0 stays usable, note-relative dim + vib stay at
+        # the soprLog floor
+        df0[:, 0] = f0
+        return (_sopr_log(df0).astype(np.float32),
+                _sopr_log(vib).astype(np.float32))
     for seg in labels:
         start, end = segment_frames(seg, frame_period_ms, T)
         base = seg.note_hz()

@@ -208,8 +208,12 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
         o = start % N
         rows = jax.vmap(lambda r, oi: jax.lax.dynamic_update_slice(
             jnp.zeros(2 * N, dtype), r, (oi,)))(responses, o)
-        R = jnp.zeros((n_chunks, 2 * N), dtype)
-        R = R.at[chunk].add(rows, mode="drop")
+        # chunk-sum as a one-hot matmul: n_chunks is small (~y/N), so the
+        # (n_chunks, P) @ (P, 2N) contraction rides the MXU and beats the
+        # row scatter-add ~5x
+        onehot = (chunk[None, :] == jnp.arange(n_chunks)[:, None]) \
+            .astype(dtype)
+        R = onehot @ rows
         first, second = R[:, :N], R[:, N:]
         yp = (jnp.pad(first, ((0, 1), (0, 0)))
               + jnp.pad(second, ((1, 0), (0, 0)))).reshape(-1)

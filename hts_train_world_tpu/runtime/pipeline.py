@@ -75,14 +75,38 @@ class SingingPipeline:
         if self.manifest.done("ANALYZE"):
             return
         lay = self.cfg.layout
-        for base in self.utterances():
-            x, fs = wavio.wavread(os.path.join(self.wd, "raw",
-                                               f"{base}.wav"))
-            assert fs == self.cfg.fs, f"{base}: fs {fs} != {self.cfg.fs}"
-            a = vocoder.analyze(jnp.asarray(x), fs, self.cfg.frame_period,
-                                parity=self.cfg.parity)
+        bases = self.utterances()
+        analyzed = {}
+        if not self.cfg.parity and len(bases) > 1:
+            # fast corpus path: length-bucketed batched analysis — one
+            # XLA compile per bucket shape instead of one per file
+            from hts_train_world_tpu.parallel import bucketing
+            sigs, fss = [], []
+            for base in bases:
+                x, fs = wavio.wavread(os.path.join(self.wd, "raw",
+                                                   f"{base}.wav"))
+                assert fs == self.cfg.fs, f"{base}: fs {fs} != {self.cfg.fs}"
+                sigs.append(x)
+            res = bucketing.bucketed_analyze(sigs, self.cfg.fs,
+                                             self.cfg.frame_period)
+            for base, (t, f0, sp, ap) in zip(bases, res):
+                analyzed[base] = vocoder.WorldAnalysis(
+                    temporal_positions=t, f0=f0, spectrogram=sp,
+                    aperiodicity=ap, fs=self.cfg.fs,
+                    fft_size=self.fft_size,
+                    frame_period=self.cfg.frame_period)
+        for base in bases:
+            if base in analyzed:
+                a = analyzed[base]
+            else:
+                x, fs = wavio.wavread(os.path.join(self.wd, "raw",
+                                                   f"{base}.wav"))
+                assert fs == self.cfg.fs, f"{base}: fs {fs} != {self.cfg.fs}"
+                a = vocoder.analyze(jnp.asarray(x), fs,
+                                    self.cfg.frame_period,
+                                    parity=self.cfg.parity)
             lf0_1d, mgc, bap = cli_mod.encode_features(
-                a.f0, a.spectrogram, a.aperiodicity, fs, a.fft_size,
+                a.f0, a.spectrogram, a.aperiodicity, a.fs, a.fft_size,
                 lay.mgc_dim, lay.bap_dim)
             mono = os.path.join(self.wd, "labels", "mono", f"{base}.lab")
             full = os.path.join(self.wd, "labels", "full", f"{base}.lab")
