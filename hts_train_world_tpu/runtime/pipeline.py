@@ -80,13 +80,24 @@ class SingingPipeline:
         if not self.cfg.parity and len(bases) > 1:
             # fast corpus path: length-bucketed batched analysis — one
             # XLA compile per bucket shape instead of one per file
+            from hts_train_world_tpu.io import loader as nloader
             from hts_train_world_tpu.parallel import bucketing
-            sigs, fss = [], []
-            for base in bases:
-                x, fs = wavio.wavread(os.path.join(self.wd, "raw",
-                                                   f"{base}.wav"))
-                assert fs == self.cfg.fs, f"{base}: fs {fs} != {self.cfg.fs}"
-                sigs.append(x)
+            paths = [os.path.join(self.wd, "raw", f"{b}.wav")
+                     for b in bases]
+            sigs: list = [None] * len(bases)
+            try:
+                with nloader.CorpusLoader(paths, nloader.WAV) as dl:
+                    for i, x, sr in dl:
+                        assert x is not None, f"{bases[i]}: unreadable wav"
+                        assert sr == self.cfg.fs, \
+                            f"{bases[i]}: fs {sr} != {self.cfg.fs}"
+                        sigs[i] = x
+            except OSError:  # no native toolchain: python reader
+                for i, p in enumerate(paths):
+                    x, fs = wavio.wavread(p)
+                    assert fs == self.cfg.fs, \
+                        f"{bases[i]}: fs {fs} != {self.cfg.fs}"
+                    sigs[i] = x
             res = bucketing.bucketed_analyze(sigs, self.cfg.fs,
                                              self.cfg.frame_period)
             for base, (t, f0, sp, ap) in zip(bases, res):
