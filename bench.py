@@ -21,7 +21,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-FS = 16000
+FS = 48000  # the reference's own workload anchor (configure.ac:536-554)
 DUR = 2.0
 BATCH = 8
 ITERS = 5
@@ -43,7 +43,7 @@ def _corpus(batch: int, n: int):
 
 def cpp_baseline_audio_s_per_s() -> float:
     """Reference analysis+synth single-core throughput on this host."""
-    cache = "/tmp/world_cpp_baseline.json"
+    cache = f"/tmp/world_cpp_baseline_{FS}.json"
     if os.path.exists(cache):
         return json.load(open(cache))["audio_s_per_s"]
     try:
@@ -58,11 +58,12 @@ def cpp_baseline_audio_s_per_s() -> float:
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
+            fft = str(1024 if FS == 16000 else 2048)
             subprocess.run([f"{b}/analysis", wav, "/tmp/b.lf0", "/tmp/b.mgc",
-                            "/tmp/b.bap", "5", "1024", "50", "25"],
+                            "/tmp/b.bap", "5", fft, "50", "25"],
                            check=True, capture_output=True)
             subprocess.run([f"{b}/synth", "/tmp/b.lf0", "/tmp/b.mgc",
-                            "/tmp/b.bap", "/tmp/b.wav", "5", "1024",
+                            "/tmp/b.bap", "/tmp/b.wav", "5", fft,
                             str(FS), "50", "25"],
                            check=True, capture_output=True)
         dt = (time.perf_counter() - t0) / reps
