@@ -93,12 +93,10 @@ def _raw_candidates(y, fs8: float, fft_size: int, y_length: int, T: int,
     cap = y_length // 2 + 2
     h_max = int(fs8 / boundaries[0] * 2.0 + 0.5)
     wlen_max = 2 * h_max + 1
-    bnd = jnp.asarray(boundaries, dtype)
-    hs = prims.matlab_round_i(fs8 / bnd * 2.0)
 
     j = jnp.arange(wlen_max)
 
-    def channel(boundary, h):
+    def channel(boundary, h, cap):
         valid = j <= 2 * h
         t = j / (2.0 * h.astype(dtype))  # Nuttall over window length 2h+1
         w = (0.355768 - 0.487396 * jnp.cos(2 * jnp.pi * t)
@@ -123,7 +121,31 @@ def _raw_candidates(y, fs8: float, fft_size: int, y_length: int, T: int,
                | (cand > f0_ceil) | (cand < f0_floor))
         return jnp.where(bad | ~enough, 0.0, cand)
 
-    return jax.vmap(channel)(bnd, hs)  # (n_ch, T)
+    hs_np = [int(fs8 / b * 2.0 + 0.5) for b in boundaries]
+    if dtype == jnp.float32:
+        # fast path: the cos-modulated Nuttall band-pass at boundary_f0
+        # oscillates at ~boundary_f0, so the zero-crossing count per
+        # stream is ~boundary*duration.  Group channels per octave and
+        # give each vmap group a tight static cap (vmap needs one shape
+        # per group); the f64 parity path keeps the worst-case cap.
+        dur = y_length / fs8
+        groups = {}
+        for ci, b in enumerate(boundaries):
+            gcap = min(cap, int(2.5 * 2.0 ** math.ceil(math.log2(b))
+                                * dur) + 64)
+            groups.setdefault(gcap, []).append(ci)
+        rows = [None] * len(boundaries)
+        for gcap, idxs in sorted(groups.items()):
+            bnd_g = jnp.asarray([boundaries[i] for i in idxs], dtype)
+            hs_g = jnp.asarray([hs_np[i] for i in idxs], jnp.int32)
+            out = jax.vmap(lambda b, h: channel(b, h, gcap))(bnd_g, hs_g)
+            for r, i in enumerate(idxs):
+                rows[i] = out[r]
+        return jnp.stack(rows)  # (n_ch, T)
+
+    bnd = jnp.asarray(boundaries, dtype)
+    hs = jnp.asarray(hs_np, jnp.int32)
+    return jax.vmap(lambda b, h: channel(b, h, cap))(bnd, hs)  # (n_ch, T)
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +175,15 @@ def _refine_bucket(y, positions, f0s, fs8: float, B: int, f0_floor: float,
     L = y.shape[0]
     W = B // 2
 
+    fast = dtype == jnp.float32
+    if fast:
+        # contiguous window -> dynamic_slice from the edge-padded signal
+        # (pad replicates y[0]/y[-1] = the clip-gather semantics)
+        pad = int(1.5 * fs8 / f0_floor) + 8
+        ypad = jnp.concatenate([
+            jnp.full((pad,), y[0], dtype), y,
+            jnp.full((pad + W,), y[-1], dtype)])
+
     def one(pos, f0i):
         h = (1.5 * fs8 / f0i + 1.0).astype(jnp.int32)
         jj = jnp.arange(W)
@@ -168,7 +199,12 @@ def _refine_bucket(y, positions, f0s, fs8: float, B: int, f0_floor: float,
         mw_p = jnp.concatenate([mw[1:], jnp.zeros(1, dtype)])
         mw_m = jnp.concatenate([jnp.zeros(1, dtype), mw[:-1]])
         dw = jnp.where(valid, -(mw_p - mw_m) / 2.0, 0.0)
-        seg = jnp.take(y, jnp.clip(base_index - 1, 0, L - 1), mode="clip")
+        if fast:
+            seg = jax.lax.dynamic_slice(
+                ypad, (jnp.clip(base0 - 1 + pad, 0, None),), (W,))
+        else:
+            seg = jnp.take(y, jnp.clip(base_index - 1, 0, L - 1),
+                           mode="clip")
         sm = jnp.fft.rfft(seg * mw, B)
         sd = jnp.fft.rfft(seg * dw, B)
         power = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
