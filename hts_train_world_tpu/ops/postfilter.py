@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,3 +131,126 @@ def apply_mspf(traj, nat: MspfStats, gen: MspfStats, weight: float = 1.0):
         ms2 = ms + weight * (conv - ms)
         outs.append(msmp2seq(ms2, mp, T))
     return jnp.stack(outs, axis=1) + mean
+
+
+# ---------------------------------------------------------------------------
+# LSP postfilter (postfiltering_lsp, Training.pl:2690-2752)
+# ---------------------------------------------------------------------------
+
+
+def lsp_sharpen(lsp, pf: float = 0.7):
+    """The reference's per-frame LSP spacing sharpener
+    (Training.pl:2723-2731): for interior indices 1 < i < m-1,
+
+        d1 = pf*(w[i+1]-w[i]);  d2 = pf*(w[i]-w[i-1])
+        w'[i] = w[i-1] + d2 + d2^2*((w[i+1]-w[i-1]) - (d1+d2))
+                               / (d2^2 + d1^2)
+
+    first and last LSPs pass through.  lsp: (..., m-1) frequencies
+    (gain excluded).  Pure elementwise jnp, vmappable over frames."""
+    lsp = jnp.asarray(lsp)
+    prev = lsp[..., :-2]
+    cur = lsp[..., 1:-1]
+    nxt = lsp[..., 2:]
+    d1 = pf * (nxt - cur)
+    d2 = pf * (cur - prev)
+    den = d2 * d2 + d1 * d1
+    new = prev + d2 + d2 * d2 * ((nxt - prev) - (d1 + d2)) \
+        / jnp.where(den == 0.0, 1.0, den)
+    new = jnp.where(den == 0.0, cur, new)
+    return jnp.concatenate([lsp[..., :1], new, lsp[..., -1:]], axis=-1)
+
+
+def lsp_check(lsp, min_gap: float = 1e-3):
+    """lspcheck -c -r equivalent: project each frame's LSPs onto the
+    stable region — ascending in (0, pi) with a minimal gap.  A cumulative
+    -max formulation (monotone envelope) instead of the C's pairwise
+    swap loop."""
+    lsp = jnp.asarray(lsp)
+    m = lsp.shape[-1]
+    lo = jnp.clip(lsp, min_gap, jnp.pi - min_gap)
+    # enforce w[i] >= w[i-1] + min_gap via a running max of (w[i] - i*gap)
+    shifted = lo - jnp.arange(1, m + 1) * min_gap
+    env = jax.lax.associative_scan(jnp.maximum, shifted, axis=-1)
+    out = env + jnp.arange(1, m + 1) * min_gap
+    return jnp.clip(out, min_gap, jnp.pi - min_gap)
+
+
+def lsp_to_lpc(lsp):
+    """LSP frequencies (..., m) -> LPC coefficients a[1..m] (SPTK lsp2lpc
+    equivalent).  Sorted LSPs alternate P/Q starting with P:
+    P roots = lsp[0::2], Q roots = lsp[1::2];
+      even m: A = ((1+z^-1) P~ + (1-z^-1) Q~) / 2
+      odd  m: A = (P~ + (1-z^-2) Q~) / 2
+    with X~ = prod (1 - 2 cos(w) z^-1 + z^-2) over that set's roots."""
+    lsp = jnp.asarray(lsp)
+    m = lsp.shape[-1]
+    batch = lsp.shape[:-1]
+    cos_w = jnp.cos(lsp)
+
+    def poly_from(roots, deg_out: int):
+        """prod over roots of (1 - 2c z^-1 + z^-2), coeffs padded to
+        deg_out+1, built by a scan of in-place convolutions."""
+        init = jnp.zeros(batch + (deg_out + 1,), lsp.dtype)
+        init = init.at[..., 0].set(1.0)
+
+        def body(c, coef):
+            s1 = jnp.concatenate([jnp.zeros_like(c[..., :1]),
+                                  c[..., :-1]], axis=-1)
+            s2 = jnp.concatenate([jnp.zeros_like(c[..., :2]),
+                                  c[..., :-2]], axis=-1)
+            return c - 2.0 * coef[..., None] * s1 + s2, None
+
+        out, _ = jax.lax.scan(body, init, jnp.moveaxis(roots, -1, 0))
+        return out
+
+    def times_1_plus(c, sign: float, lag: int):
+        """c(z) * (1 + sign*z^-lag), same padded length."""
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(c[..., :lag]), c[..., :-lag]], axis=-1)
+        return c + sign * shifted
+
+    if m % 2 == 0:
+        P = poly_from(cos_w[..., 0::2], m + 1)
+        Q = poly_from(cos_w[..., 1::2], m + 1)
+        P = times_1_plus(P, +1.0, 1)
+        Q = times_1_plus(Q, -1.0, 1)
+    else:
+        P = poly_from(cos_w[..., 0::2], m + 1)
+        Q = poly_from(cos_w[..., 1::2], m + 1)
+        Q = times_1_plus(Q, -1.0, 2)
+    A = 0.5 * (P + Q)
+    return A[..., 1:m + 1]
+
+
+def lsp_spectrum_energy(gain, lsp, n_fft: int = 512):
+    """0.5*ln sum |H|^2 of the all-pole filter exp(gain)/A(z) — the
+    energy the reference's ene1/ene2 pipeline measures (SOPR -P |
+    VSUM | SOPR -LN -m 0.5, Training.pl:2705-2706)."""
+    a = lsp_to_lpc(lsp)
+    A = jnp.concatenate([jnp.ones(a.shape[:-1] + (1,), a.dtype), a], -1)
+    Af = jnp.fft.rfft(A, n_fft)
+    mag2 = jnp.real(Af) ** 2 + jnp.imag(Af) ** 2
+    h2 = jnp.exp(2.0 * gain)[..., None] / jnp.maximum(mag2, 1e-20)
+    return 0.5 * jnp.log(jnp.sum(h2, axis=-1))
+
+
+def lsp_postfilter(mgc_lsp, pf: float = 0.7, energy_match: bool = False):
+    """postfiltering_lsp (Training.pl:2690-2752) on (T, m) frames of
+    [gain, lsp_1..lsp_{m-1}].
+
+    energy_match=False reproduces the reference LITERALLY: its gain
+    'correction' divides ene2 by itself (Training.pl:2745 passes ene2 as
+    both vopr operands; ene1 is written then deleted unused), so the
+    gain passes through unchanged.  energy_match=True implements the
+    evident intent: gain' = gain + (ene1 - ene2) with ene the all-pole
+    log energy of the frame before/after sharpening."""
+    mgc_lsp = jnp.asarray(mgc_lsp)
+    gain = mgc_lsp[..., 0]
+    lsp = mgc_lsp[..., 1:]
+    plsp = lsp_check(lsp_sharpen(lsp, pf))
+    if energy_match:
+        e1 = lsp_spectrum_energy(gain, lsp_check(lsp))
+        e2 = lsp_spectrum_energy(gain, plsp)
+        gain = gain + (e1 - e2)
+    return jnp.concatenate([gain[..., None], plsp], axis=-1)
