@@ -102,49 +102,97 @@ class Tree:
         return len(self.leaf_params)
 
 
+def _bern_loglik(m: SuffStats) -> float:
+    """Bernoulli (MSD space-weight) log-likelihood of pooled V/UV counts:
+    m.gamma = frames, m.s1[0] = voiced frames."""
+    n = m.gamma
+    if n <= 0:
+        return 0.0
+    v = float(np.clip(m.s1[0], 1e-3, n - 1e-3))
+    p = v / n
+    return v * math.log(p) + (n - v) * math.log(1.0 - p)
+
+
 def cluster_states(stats_by_context: Dict[str, SuffStats],
                    questions: Sequence[Question],
                    mdl_factor: float = 1.0, min_occupancy: float = 1.0,
-                   var_floor: float = 1e-8) -> Tree:
-    """Build one tree for one (stream, state) position."""
-    contexts = list(stats_by_context)
-    total = None
+                   var_floor: float = 1e-8,
+                   msd_by_context: Dict[str, SuffStats] = None) -> Tree:
+    """Build one tree for one (stream, state) position.
+
+    For MSD streams pass `msd_by_context` (gamma = total frames,
+    s1[0] = voiced frames per context): the split criterion then adds
+    the Bernoulli space-weight likelihood — HTS's MSD MDL clusters on
+    both the voiced Gaussian and the discrete V/UV weight, which is
+    what separates voiced from unvoiced contexts whose voiced-frame
+    Gaussians carry no signal — and the context set is the union (a
+    fully-unvoiced context has no Gaussian stats but must still get its
+    own leaf)."""
+    if msd_by_context is not None:
+        contexts = sorted(set(stats_by_context) | set(msd_by_context))
+    else:
+        contexts = list(stats_by_context)
+    some = next(iter(stats_by_context.values()), None)
+    D = len(some.s1) if some is not None else 1
+    zero = SuffStats(0.0, np.zeros(D), np.zeros(D))
+    mzero = SuffStats(0.0, np.zeros(1), np.zeros(1))
+
+    def g(c):
+        return stats_by_context.get(c, zero)
+
+    def m(c):
+        return msd_by_context.get(c, mzero) if msd_by_context is not None \
+            else mzero
+
+    total = zero
+    mtotal = mzero
     for c in contexts:
-        total = stats_by_context[c] if total is None \
-            else total + stats_by_context[c]
-    D = len(total.s1)
-    threshold = 0.5 * mdl_factor * D * math.log(max(total.gamma, 2.0))
+        total = total + g(c)
+        mtotal = mtotal + m(c)
+    n_dims = D + (1 if msd_by_context is not None else 0)
+    occ_total = mtotal.gamma if msd_by_context is not None else total.gamma
+    threshold = 0.5 * mdl_factor * n_dims * math.log(max(occ_total, 2.0))
 
     leaf_params: List[Tuple[np.ndarray, np.ndarray]] = []
 
-    def build(ctxs: List[str], stats: SuffStats) -> Node:
-        base_ll = _loglik(stats, var_floor)
+    def node_ll(stats, mstats):
+        ll = _loglik(stats, var_floor)
+        if msd_by_context is not None:
+            ll += _bern_loglik(mstats)
+        return ll
+
+    def build(ctxs: List[str], stats: SuffStats, mstats: SuffStats) -> Node:
+        base_ll = node_ll(stats, mstats)
         best = None
         for q in questions:
             yes = [c for c in ctxs if q.matches(c)]
             if not yes or len(yes) == len(ctxs):
                 continue
-            sy = None
+            sy, my = zero, mzero
             for c in yes:
-                sy = stats_by_context[c] if sy is None \
-                    else sy + stats_by_context[c]
+                sy = sy + g(c)
+                my = my + m(c)
             sn = SuffStats(stats.gamma - sy.gamma, stats.s1 - sy.s1,
                            stats.s2 - sy.s2)
-            if sy.gamma < min_occupancy or sn.gamma < min_occupancy:
+            mn = SuffStats(mstats.gamma - my.gamma, mstats.s1 - my.s1,
+                           mstats.s2 - my.s2)
+            occ_y = my.gamma if msd_by_context is not None else sy.gamma
+            occ_n = mn.gamma if msd_by_context is not None else sn.gamma
+            if occ_y < min_occupancy or occ_n < min_occupancy:
                 continue
-            gain = (_loglik(sy, var_floor) + _loglik(sn, var_floor)
-                    - base_ll)
+            gain = (node_ll(sy, my) + node_ll(sn, mn) - base_ll)
             if best is None or gain > best[0]:
-                best = (gain, q, yes, sy, sn)
+                best = (gain, q, yes, sy, sn, my, mn)
         if best is None or best[0] <= threshold:
             node = Node(leaf_id=len(leaf_params))
             leaf_params.append((stats.mean, stats.var(var_floor)))
             return node
-        gain, q, yes, sy, sn = best
+        gain, q, yes, sy, sn, my, mn = best
         no = [c for c in ctxs if c not in set(yes)]
-        return Node(question=q, yes=build(yes, sy), no=build(no, sn))
+        return Node(question=q, yes=build(yes, sy, my),
+                    no=build(no, sn, mn))
 
-    root = build(contexts, total)
+    root = build(contexts, total, mtotal)
     return Tree(root, leaf_params)
 
 

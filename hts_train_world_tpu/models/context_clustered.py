@@ -127,7 +127,8 @@ def build_clustered_model(modelset: hsmm.ModelSet, stream_stats, msd_stats,
     msd_weights = {}
     for st in modelset.streams:
         trees[st.name] = [clustering.cluster_states(
-            stream_stats[st.name][s], questions, mdl_factor, min_occupancy)
+            stream_stats[st.name][s], questions, mdl_factor, min_occupancy,
+            msd_by_context=(msd_stats[st.name][s] if st.msd else None))
             for s in range(S)]
         if st.msd:
             per_state = []
@@ -164,3 +165,195 @@ def export_voice(model: ClusteredModel, path: str, fs: int,
     dur = voice.StreamPack("dur", model.n_states, False, 1,
                            model.dur_trees)
     voice.export_htsvoice(path, fs, frame_shift, model.n_states, packs, dur)
+
+
+# ---------------------------------------------------------------------------
+# tied-model embedded re-estimation + reclustering (ERST2 / UNTIE->CXCL2 /
+# ERST4, Training.pl:496-599)
+# ---------------------------------------------------------------------------
+
+
+def _chain_arrays(model: ClusteredModel, ctx_seq):
+    """Stack the tied per-(context, state) params into chain-ordered
+    arrays: per stream (K, D_s) mean/var (+ msd weight (K,)), duration
+    (K,) mean/var, and per-stream leaf ids (K,) for stat accumulation."""
+    S = model.n_states
+    K = len(ctx_seq) * S
+    means = {st.name: [] for st in model.streams}
+    vars_ = {st.name: [] for st in model.streams}
+    msd_w = {st.name: [] for st in model.streams}
+    leaf_ids = {st.name: np.zeros(K, np.int64) for st in model.streams}
+    dur_leaf = np.zeros(K, np.int64)
+    dmean = np.zeros(K)
+    dvar = np.zeros(K)
+    for li, ctx in enumerate(ctx_seq):
+        for s in range(S):
+            k = li * S + s
+            for st in model.streams:
+                tree = model.trees[st.name][s]
+                leaf = tree.leaf_of(ctx)
+                leaf_ids[st.name][k] = leaf
+                mean, var = tree.leaf_params[leaf]
+                means[st.name].append(mean)
+                vars_[st.name].append(var)
+                msd_w[st.name].append(
+                    model.msd_weights[st.name][s][leaf] if st.msd else 1.0)
+            dtree = model.dur_trees[s]
+            dl = dtree.leaf_of(ctx)
+            dur_leaf[k] = dl
+            dm, dv = dtree.leaf_params[dl]
+            dmean[k] = dm[0]
+            dvar[k] = dv[0]
+    means = {n: np.stack(v) for n, v in means.items()}
+    vars_ = {n: np.stack(v) for n, v in vars_.items()}
+    msd_w = {n: np.asarray(v) for n, v in msd_w.items()}
+    return means, vars_, msd_w, leaf_ids, dur_leaf, dmean, dvar
+
+
+def align_with_clustered(model: ClusteredModel, frames, ctx_seq,
+                         max_dur: int = 40):
+    """Viterbi state boundaries under the TIED model (HSMMAlign on the
+    clustered mmf).  Returns (loglik, ends, chain arrays)."""
+    import jax.numpy as jnp
+    S = model.n_states
+    if len(frames) < len(ctx_seq) * S:
+        raise ValueError(
+            f"utterance has {len(frames)} frames but the chain needs "
+            f">= {len(ctx_seq) * S}; alignment is infeasible")
+    ch = _chain_arrays(model, ctx_seq)
+    means, vars_, msd_w, leaf_ids, dur_leaf, dmean, dvar = ch
+    sls = tuple((st.sl.start, st.sl.stop) for st in model.streams)
+    flags = tuple(st.msd for st in model.streams)
+    wts = tuple(st.weight for st in model.streams)
+    obs_ll = hsmm.frame_loglik(
+        jnp.asarray(frames),
+        tuple(jnp.asarray(means[st.name]) for st in model.streams),
+        tuple(jnp.asarray(vars_[st.name]) for st in model.streams),
+        tuple(jnp.asarray(msd_w[st.name]) for st in model.streams),
+        sls, flags, wts)
+    ll, ends = hsmm.viterbi_segment(obs_ll, jnp.asarray(dmean),
+                                    jnp.asarray(dvar), max_dur)
+    return float(ll), np.asarray(ends), ch
+
+
+def reestimate_clustered(model: ClusteredModel, utterances,
+                         n_iters: int = 2, max_dur: int = 40,
+                         var_floor_scale: float = 0.01, log=print):
+    """Embedded re-estimation of the TIED model (HERest on the clustered
+    mmf, ERST2/ERST4): segmental E-step under the tied chain, M-step per
+    tree leaf.  Updates model.trees[*].leaf_params and dur_trees in
+    place; returns per-iteration total logliks."""
+    all_frames = np.concatenate([u[0] for u in utterances])
+    _, gvar = hsmm.global_stats(all_frames, model.streams)
+    floors = {st.name: gvar[st.sl] * var_floor_scale + 1e-8
+              for st in model.streams}
+    S = model.n_states
+    history = []
+    for it in range(n_iters):
+        acc = {st.name: {} for st in model.streams}   # (state, leaf) -> mom
+        msd_acc = {st.name: {} for st in model.streams if st.msd}
+        dur_acc = {}
+        total = 0.0
+        for frames, ctx_seq in utterances:
+            try:
+                ll, ends, ch = align_with_clustered(model, frames, ctx_seq,
+                                                    max_dur)
+            except ValueError:
+                continue
+            total += ll
+            _, _, _, leaf_ids, dur_leaf, _, _ = ch
+            starts = np.concatenate([[0], ends[:-1]])
+            for li in range(len(ctx_seq)):
+                for s in range(S):
+                    k = li * S + s
+                    seg = frames[starts[k]:ends[k]]
+                    d = float(ends[k] - starts[k])
+                    da = dur_acc.setdefault((s, dur_leaf[k]),
+                                            [0.0, 0.0, 0.0])
+                    da[0] += 1.0
+                    da[1] += d
+                    da[2] += d * d
+                    for st in model.streams:
+                        block = seg[:, st.sl]
+                        if st.msd:
+                            present = seg[:, st.msd_flag_col] != 0.0
+                            ma = msd_acc[st.name].setdefault(
+                                (s, leaf_ids[st.name][k]), [0.0, 0.0])
+                            ma[0] += float(present.sum())
+                            ma[1] += float(len(seg))
+                            block = block[present]
+                            if not len(block):
+                                continue
+                        a = acc[st.name].setdefault(
+                            (s, leaf_ids[st.name][k]), [0.0, 0.0, 0.0])
+                        a[0] += len(block)
+                        a[1] = a[1] + block.sum(0)
+                        a[2] = a[2] + (block * block).sum(0)
+        # M-step
+        for st in model.streams:
+            for (s, leaf), (n, s1, s2) in acc[st.name].items():
+                if n < 1:
+                    continue
+                mean = s1 / n
+                var = np.maximum(s2 / n - mean * mean, floors[st.name])
+                model.trees[st.name][s].leaf_params[leaf] = (mean, var)
+            if st.msd:
+                for (s, leaf), (v, n) in msd_acc[st.name].items():
+                    if n > 0:
+                        model.msd_weights[st.name][s][leaf] = float(
+                            np.clip(v / n, 1e-3, 1 - 1e-3))
+        for (s, leaf), (n, d1, d2) in dur_acc.items():
+            if n < 1:
+                continue
+            dm = d1 / n
+            dv = max(d2 / n - dm * dm, 1.0)
+            model.dur_trees[s].leaf_params[leaf] = (np.array([dm]),
+                                                    np.array([dv]))
+        log(f"tied re-estimation iter {it}: total loglik {total:.1f}")
+        history.append(total)
+    return history
+
+
+def collect_context_stats_tied(model: ClusteredModel, utterances,
+                               max_dur: int = 40):
+    """UNTIE + stats: per-(context, state) statistics under alignments
+    from the TIED model — the input to the second clustering round
+    (CXCL2, Training.pl:553-577)."""
+    S = model.n_states
+    stream_stats = {st.name: [dict() for _ in range(S)]
+                    for st in model.streams}
+    msd_stats = {st.name: [dict() for _ in range(S)]
+                 for st in model.streams if st.msd}
+    dur_stats = [dict() for _ in range(S)]
+    for frames, ctx_seq in utterances:
+        try:
+            _, ends, _ = align_with_clustered(model, frames, ctx_seq,
+                                              max_dur)
+        except ValueError:
+            continue
+        starts = np.concatenate([[0], ends[:-1]])
+        for li, ctx in enumerate(ctx_seq):
+            for s in range(S):
+                k = li * S + s
+                seg = frames[starts[k]:ends[k]]
+                d = float(ends[k] - starts[k])
+                ds = clustering.SuffStats(1.0, np.array([d]),
+                                          np.array([d * d]))
+                dur_stats[s][ctx] = (dur_stats[s][ctx] + ds
+                                     if ctx in dur_stats[s] else ds)
+                for st in model.streams:
+                    block = seg[:, st.sl]
+                    if st.msd:
+                        present = seg[:, st.msd_flag_col] != 0.0
+                        pres = clustering.SuffStats(
+                            float(len(seg)), np.array([present.sum()]),
+                            np.array([float(present.sum())]))
+                        m = msd_stats[st.name][s]
+                        m[ctx] = m[ctx] + pres if ctx in m else pres
+                        block = block[present]
+                        if not len(block):
+                            continue
+                    ss = clustering.SuffStats.from_frames(block)
+                    d_ = stream_stats[st.name][s]
+                    d_[ctx] = d_[ctx] + ss if ctx in d_ else ss
+    return stream_stats, msd_stats, dur_stats

@@ -43,6 +43,9 @@ class RecipeConfig:
     # clustering (Config.pm.in:69-97)
     mdl_factor: float = 1.0
     min_occupancy: float = 1.0
+    # tied-model refinement (ERST2 / UNTIE->CXCL2 / ERST4)
+    tied_iters: int = 1          # embedded EM sweeps on the tied model
+    recluster: bool = True       # UNTIE + second clustering round
     # variants
     upmix: bool = False          # UPMIX + ERST5
     upmix_iters: int = 2
@@ -142,6 +145,30 @@ def train_voice(corpus, questions, cfg: RecipeConfig = RecipeConfig(),
     state.clustered = context_clustered.build_clustered_model(
         ms, stream_stats, msd_stats, dur_stats, questions,
         mdl_factor=cfg.mdl_factor, min_occupancy=cfg.min_occupancy)
+
+    # ---- ERST2: embedded re-estimation of the tied model -------------
+    if cfg.tied_iters > 0:
+        say("ERST2: tied-model embedded re-estimation")
+        context_clustered.reestimate_clustered(
+            state.clustered, utts_full, n_iters=cfg.tied_iters,
+            max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
+            log=say)
+
+    # ---- UNTIE -> CXCL2 -> ERST4 --------------------------------------
+    if cfg.recluster:
+        say("UNTIE/CXCL2: untied statistics from tied alignments "
+            "+ second clustering round")
+        ss2, ms2_, ds2 = context_clustered.collect_context_stats_tied(
+            state.clustered, utts_full, cfg.max_dur)
+        state.clustered = context_clustered.build_clustered_model(
+            ms, ss2, ms2_, ds2, questions,
+            mdl_factor=cfg.mdl_factor, min_occupancy=cfg.min_occupancy)
+        if cfg.tied_iters > 0:
+            say("ERST4: re-estimation of the reclustered model")
+            context_clustered.reestimate_clustered(
+                state.clustered, utts_full, n_iters=cfg.tied_iters,
+                max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
+                log=say)
 
     # ---- FALGN: forced alignment ------------------------------------
     say("FALGN: Viterbi forced alignment")
