@@ -19,7 +19,7 @@ from hts_train_world_tpu.ops import dio as dio_mod
 from hts_train_world_tpu.ops import stonemask as sm
 from hts_train_world_tpu.ops import synthesis as syn
 
-FS = 16000
+FS = int(os.environ.get("FS", "16000"))
 DUR = 2.0
 BATCH = int(os.environ.get("BATCH", "8"))
 ITERS = int(os.environ.get("ITERS", "4"))
