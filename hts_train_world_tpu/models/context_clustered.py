@@ -27,7 +27,7 @@ class ClusteredModel:
     streams: Sequence[hsmm.StreamDef]
     n_states: int
     trees: Dict[str, List[clustering.Tree]]       # stream -> per-state
-    dur_trees: List[clustering.Tree]              # per-state (dim 1)
+    dur_tree: clustering.Tree                     # ONE tree, (S,)-dim leaves
     msd_weights: Dict[str, List[np.ndarray]]      # stream -> per-state/leaf
 
     def state_params(self, context: str, state: int):
@@ -42,9 +42,18 @@ class ClusteredModel:
         return out
 
     def duration(self, context: str, state: int):
-        tree = self.dur_trees[state]
-        mean, var = tree.leaf_params[tree.leaf_of(context)]
-        return float(mean[0]), float(var[0])
+        """The duration model is ONE tree whose leaves carry the
+        n_states-dim duration Gaussian — the reference's dur mmf has one
+        model of nState scalar streams clustered by a single TB command
+        (Training.pl:496-532), which hts_engine loads as an
+        (nState,)-vector pdf per leaf."""
+        mean, var = self.dur_tree.leaf_params[self.dur_tree.leaf_of(context)]
+        return float(mean[state]), float(var[state])
+
+    def durations(self, context: str):
+        """(S,) duration means/vars for one context."""
+        mean, var = self.dur_tree.leaf_params[self.dur_tree.leaf_of(context)]
+        return np.asarray(mean, float), np.asarray(var, float)
 
     def generate(self, label_seq: Sequence[str], speaking_rate: float = 1.0):
         """Frame-level means/vars per stream + V/UV, MLPG-ready."""
@@ -81,7 +90,7 @@ def collect_context_stats(modelset: hsmm.ModelSet, utterances,
                     for st in modelset.streams}
     msd_stats = {st.name: [dict() for _ in range(S)]
                  for st in modelset.streams if st.msd}
-    dur_stats = [dict() for _ in range(S)]
+    dur_stats: Dict[str, clustering.SuffStats] = {}
     for frames, ctx_seq in utterances:
         mono = [phone_of(c) for c in ctx_seq]
         try:
@@ -93,14 +102,14 @@ def collect_context_stats(modelset: hsmm.ModelSet, utterances,
             continue
         starts = np.concatenate([[0], ends[:-1]])
         for li, ctx in enumerate(ctx_seq):
+            dvec = (ends[li * S:(li + 1) * S]
+                    - starts[li * S:(li + 1) * S]).astype(float)
+            ds = clustering.SuffStats(1.0, dvec, dvec * dvec)
+            dur_stats[ctx] = (dur_stats[ctx] + ds
+                              if ctx in dur_stats else ds)
             for s in range(S):
                 k = li * S + s
                 seg = frames[starts[k]:ends[k]]
-                d = float(ends[k] - starts[k])
-                ds = clustering.SuffStats(1.0, np.array([d]),
-                                          np.array([d * d]))
-                dur_stats[s][ctx] = (dur_stats[s][ctx] + ds
-                                     if ctx in dur_stats[s] else ds)
                 for st in modelset.streams:
                     block = seg[:, st.sl]
                     if st.msd:
@@ -147,24 +156,38 @@ def build_clustered_model(modelset: hsmm.ModelSet, stream_stats, msd_stats,
                         w[li] = np.clip(v / n, 1e-3, 1 - 1e-3)
                 per_state.append(w)
             msd_weights[st.name] = per_state
-    dur_trees = [clustering.cluster_states(dur_stats[s], questions,
-                                           mdl_factor, min_occupancy)
-                 for s in range(S)]
-    return ClusteredModel(modelset.streams, S, trees, dur_trees,
+    dur_tree = clustering.cluster_states(dur_stats, questions,
+                                         mdl_factor, min_occupancy)
+    return ClusteredModel(modelset.streams, S, trees, dur_tree,
                           msd_weights)
 
 
 def export_voice(model: ClusteredModel, path: str, fs: int,
-                 frame_shift: int, static_dims: Dict[str, int]) -> None:
+                 frame_shift: int, static_dims: Dict[str, int],
+                 gv_model=None, alpha: float = 0.0,
+                 gv_off_context=()) -> None:
+    """CONVM: package the tied model (+ optional MCDGV GV models) into
+    one .htsvoice (Training.pl:761-797, 2303-2609).  gv_model: a
+    models/gv_model.GVModel whose trees carry per-stream GV pdfs —
+    exported as GV_PDF/GV_TREE sections (Training.pl:2496-2516)."""
     packs = []
     for st in model.streams:
+        gv_tree = None
+        if gv_model is not None and st.name in gv_model.trees:
+            gv_tree = gv_model.trees[st.name]
+        option = ""
+        if st.name == "mgc" and alpha:
+            # OPTION[MGC]:ALPHA=..,GAMMA=..,LN_GAIN=.. (Training.pl:2400)
+            option = f"ALPHA={alpha},GAMMA=0,LN_GAIN=1"
         packs.append(voice.StreamPack(
             st.name, static_dims.get(st.name, 1), st.msd, 3,
             model.trees[st.name],
-            msd_weights=model.msd_weights.get(st.name)))
+            msd_weights=model.msd_weights.get(st.name),
+            use_gv=gv_tree is not None, option=option, gv_tree=gv_tree))
     dur = voice.StreamPack("dur", model.n_states, False, 1,
-                           model.dur_trees)
-    voice.export_htsvoice(path, fs, frame_shift, model.n_states, packs, dur)
+                           [model.dur_tree])
+    voice.export_htsvoice(path, fs, frame_shift, model.n_states, packs, dur,
+                          gv_off_context=gv_off_context)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +210,8 @@ def _chain_arrays(model: ClusteredModel, ctx_seq):
     dmean = np.zeros(K)
     dvar = np.zeros(K)
     for li, ctx in enumerate(ctx_seq):
+        dl = model.dur_tree.leaf_of(ctx)
+        dm, dv = model.dur_tree.leaf_params[dl]
         for s in range(S):
             k = li * S + s
             for st in model.streams:
@@ -198,12 +223,9 @@ def _chain_arrays(model: ClusteredModel, ctx_seq):
                 vars_[st.name].append(var)
                 msd_w[st.name].append(
                     model.msd_weights[st.name][s][leaf] if st.msd else 1.0)
-            dtree = model.dur_trees[s]
-            dl = dtree.leaf_of(ctx)
             dur_leaf[k] = dl
-            dm, dv = dtree.leaf_params[dl]
-            dmean[k] = dm[0]
-            dvar[k] = dv[0]
+            dmean[k] = dm[s]
+            dvar[k] = dv[s]
     means = {n: np.stack(v) for n, v in means.items()}
     vars_ = {n: np.stack(v) for n, v in vars_.items()}
     msd_w = {n: np.asarray(v) for n, v in msd_w.items()}
@@ -264,15 +286,16 @@ def reestimate_clustered(model: ClusteredModel, utterances,
             _, _, _, leaf_ids, dur_leaf, _, _ = ch
             starts = np.concatenate([[0], ends[:-1]])
             for li in range(len(ctx_seq)):
+                dvec = (ends[li * S:(li + 1) * S]
+                        - starts[li * S:(li + 1) * S]).astype(float)
+                da = dur_acc.setdefault(int(dur_leaf[li * S]),
+                                        [0.0, np.zeros(S), np.zeros(S)])
+                da[0] += 1.0
+                da[1] = da[1] + dvec
+                da[2] = da[2] + dvec * dvec
                 for s in range(S):
                     k = li * S + s
                     seg = frames[starts[k]:ends[k]]
-                    d = float(ends[k] - starts[k])
-                    da = dur_acc.setdefault((s, dur_leaf[k]),
-                                            [0.0, 0.0, 0.0])
-                    da[0] += 1.0
-                    da[1] += d
-                    da[2] += d * d
                     for st in model.streams:
                         block = seg[:, st.sl]
                         if st.msd:
@@ -302,13 +325,12 @@ def reestimate_clustered(model: ClusteredModel, utterances,
                     if n > 0:
                         model.msd_weights[st.name][s][leaf] = float(
                             np.clip(v / n, 1e-3, 1 - 1e-3))
-        for (s, leaf), (n, d1, d2) in dur_acc.items():
+        for leaf, (n, d1, d2) in dur_acc.items():
             if n < 1:
                 continue
             dm = d1 / n
-            dv = max(d2 / n - dm * dm, 1.0)
-            model.dur_trees[s].leaf_params[leaf] = (np.array([dm]),
-                                                    np.array([dv]))
+            dv = np.maximum(d2 / n - dm * dm, 1.0)
+            model.dur_tree.leaf_params[leaf] = (dm, dv)
         log(f"tied re-estimation iter {it}: total loglik {total:.1f}")
         history.append(total)
     return history
@@ -324,7 +346,7 @@ def collect_context_stats_tied(model: ClusteredModel, utterances,
                     for st in model.streams}
     msd_stats = {st.name: [dict() for _ in range(S)]
                  for st in model.streams if st.msd}
-    dur_stats = [dict() for _ in range(S)]
+    dur_stats: Dict[str, clustering.SuffStats] = {}
     for frames, ctx_seq in utterances:
         try:
             _, ends, _ = align_with_clustered(model, frames, ctx_seq,
@@ -333,14 +355,14 @@ def collect_context_stats_tied(model: ClusteredModel, utterances,
             continue
         starts = np.concatenate([[0], ends[:-1]])
         for li, ctx in enumerate(ctx_seq):
+            dvec = (ends[li * S:(li + 1) * S]
+                    - starts[li * S:(li + 1) * S]).astype(float)
+            ds = clustering.SuffStats(1.0, dvec, dvec * dvec)
+            dur_stats[ctx] = (dur_stats[ctx] + ds
+                              if ctx in dur_stats else ds)
             for s in range(S):
                 k = li * S + s
                 seg = frames[starts[k]:ends[k]]
-                d = float(ends[k] - starts[k])
-                ds = clustering.SuffStats(1.0, np.array([d]),
-                                          np.array([d * d]))
-                dur_stats[s][ctx] = (dur_stats[s][ctx] + ds
-                                     if ctx in dur_stats[s] else ds)
                 for st in model.streams:
                     block = seg[:, st.sl]
                     if st.msd:

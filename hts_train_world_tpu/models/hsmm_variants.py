@@ -121,7 +121,15 @@ def _mix_args(mms: MixtureModelSet, mi: int):
 
 def align_utterance_mix(mms: MixtureModelSet, frames: np.ndarray,
                         label_seq: Sequence[str], max_dur: int = 40):
-    """Viterbi alignment under the mixture models."""
+    """Viterbi alignment under the mixture models.
+
+    Raises ValueError on infeasible utterances (fewer frames than chain
+    states), matching hsmm.align_utterance."""
+    n_chain = len(label_seq) * mms.n_states
+    if len(frames) < n_chain:
+        raise ValueError(
+            f"utterance has {len(frames)} frames but the label chain needs "
+            f">= {n_chain}; alignment is infeasible")
     idxs = [mms.index(n) for n in label_seq]
     sls = tuple((s.sl.start, s.sl.stop) for s in mms.streams)
     flags = tuple(s.msd for s in mms.streams)
@@ -163,7 +171,11 @@ def embedded_reestimate_mix(mms: MixtureModelSet, utterances,
         durs: Dict = {}
         total_ll = 0.0
         for frames, label_seq in utterances:
-            ll, ends = align_utterance_mix(mms, frames, label_seq, max_dur)
+            try:
+                ll, ends = align_utterance_mix(mms, frames, label_seq,
+                                               max_dur)
+            except ValueError:
+                continue  # infeasible utterance: drop from the counts
             total_ll += ll
             starts = np.concatenate([[0], ends[:-1]])
             for li, name in enumerate(label_seq):
@@ -358,7 +370,10 @@ def estimate_semitied(ms: ModelSet, utterances,
     # E-step: hard-align, collect occupancy + scatter per (model, state)
     stats: Dict = {}
     for frames, label_seq in utterances:
-        _, ends = hsmm.align_utterance(ms, frames, label_seq, max_dur)
+        try:
+            _, ends = hsmm.align_utterance(ms, frames, label_seq, max_dur)
+        except ValueError:
+            continue  # infeasible utterance: drop, like the other E-steps
         starts = np.concatenate([[0], ends[:-1]])
         for li, name in enumerate(label_seq):
             for s in range(S):

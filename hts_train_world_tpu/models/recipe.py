@@ -121,8 +121,16 @@ def train_voice(corpus, questions, cfg: RecipeConfig = RecipeConfig(),
     # ---- SEMIT ------------------------------------------------------
     if cfg.semitied:
         say("SEMIT: semi-tied covariance transforms")
+        # estimate_semitied updates the modelset it is given with
+        # transformed-space variances; downstream stages (UPMIX, CXCL,
+        # FALGN) consume UNtransformed frames, so they must keep the
+        # original-space model — run the estimation on a deepcopy and
+        # keep the SemiTiedModelSet as the stage's side product (its
+        # transformed_modelset()/transform_frames() pair is the coherent
+        # space for semi-tied likelihoods).
+        import copy
         state.semitied = hv.estimate_semitied(
-            ms, utts_mono, n_iter=cfg.semitied_iters,
+            copy.deepcopy(ms), utts_mono, n_iter=cfg.semitied_iters,
             max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
             log=say)
 

@@ -34,6 +34,7 @@ class StreamPack:
     msd_weights: Optional[List[np.ndarray]] = None  # per state, per leaf
     use_gv: bool = False
     option: str = ""
+    gv_tree: Optional[Tree] = None   # single-state GV pdf tree (MCDGV)
 
 
 def _pdf_payload(trees: Sequence[Tree], msd_weights=None) -> bytes:
@@ -70,11 +71,10 @@ def _tree_payload(trees: Sequence[Tree], name: str) -> bytes:
                            for s, t in enumerate(trees))).encode()
 
 
-def _window_payload(windows) -> bytes:
-    out = []
-    for w in windows:
-        out.append((f"{len(w)} " + " ".join(f"{v:g}" for v in w)).encode())
-    return b"\n".join(out) + b"\n"
+def _window_file(w) -> bytes:
+    """One data/win/*.win file: 'N v1 .. vN\\n' with python float repr
+    (matches the shipped files byte-for-byte: '1 1.0', '3 -0.5 0.0 0.5')."""
+    return (f"{len(w)} " + " ".join(str(float(v)) for v in w) + "\n").encode()
 
 
 def export_htsvoice(path: str, fs: int, frame_shift: int, n_states: int,
@@ -83,25 +83,50 @@ def export_htsvoice(path: str, fs: int, frame_shift: int, n_states: int,
                     fullcontext_format: str = "HTS_TTS_JPN",
                     fullcontext_version: str = "1.0",
                     gv_off_context: Sequence[str] = ()) -> None:
+    """Write the voice with the reference's literal section/POSITION
+    layout (make_htsvoice, Training.pl:2303-2609): [GLOBAL] line order
+    including the GV_OFF_CONTEXT line (blank when $nosilgv is off) and
+    the empty COMMENT; [POSITION] order DURATION_PDF, DURATION_TREE,
+    per-stream STREAM_WIN (comma-separated per-window byte ranges — one
+    range per win file), then ALL STREAM_PDF, then ALL STREAM_TREE, then
+    GV_PDF for use_gv streams, then GV_TREE for context-dependent GV."""
     payloads: List[bytes] = []
     positions: List[str] = []
+    offset = [0]
+
+    def add_payload(data: bytes) -> str:
+        s = offset[0]
+        payloads.append(data)
+        offset[0] += len(data)
+        return f"{s}-{s + len(data) - 1}"
 
     def add(tag: str, data: bytes):
-        start = sum(len(p) for p in payloads)
-        payloads.append(data)
-        positions.append(f"{tag}:{start}-{start + len(data) - 1}")
+        positions.append(f"{tag}:{add_payload(data)}")
 
     add("DURATION_PDF", _pdf_payload(dur.trees))
     add("DURATION_TREE", _tree_payload(dur.trees, "dur"))
     for st in streams:
         tag = STREAM_NAMES.get(st.name, st.name.upper())
-        add(f"STREAM_WIN[{tag}]", _window_payload(windows[:st.n_windows]))
+        ranges = ",".join(add_payload(_window_file(w))
+                          for w in windows[:st.n_windows])
+        positions.append(f"STREAM_WIN[{tag}]:{ranges}")
     for st in streams:
         tag = STREAM_NAMES.get(st.name, st.name.upper())
         add(f"STREAM_PDF[{tag}]",
             _pdf_payload(st.trees,
                          st.msd_weights if st.is_msd else None))
+    for st in streams:
+        tag = STREAM_NAMES.get(st.name, st.name.upper())
         add(f"STREAM_TREE[{tag}]", _tree_payload(st.trees, st.name))
+    for st in streams:
+        if st.use_gv and st.gv_tree is not None:
+            tag = STREAM_NAMES.get(st.name, st.name.upper())
+            add(f"GV_PDF[{tag}]", _pdf_payload([st.gv_tree]))
+    for st in streams:
+        if st.use_gv and st.gv_tree is not None:
+            tag = STREAM_NAMES.get(st.name, st.name.upper())
+            add(f"GV_TREE[{tag}]", _tree_payload([st.gv_tree],
+                                                 f"gv-{st.name}"))
 
     header = io.StringIO()
     header.write("[GLOBAL]\n")
@@ -115,10 +140,14 @@ def export_htsvoice(path: str, fs: int, frame_shift: int, n_states: int,
     header.write(f"FULLCONTEXT_FORMAT:{fullcontext_format}\n")
     header.write(f"FULLCONTEXT_VERSION:{fullcontext_version}\n")
     header.write("VOCODER:WORLD\n")
+    # the reference prints the GV_OFF_CONTEXT values under $nosilgv and
+    # then an unconditional newline (Training.pl:2342-2351) — a voice
+    # without silence-GV exclusion carries a blank line here
     if gv_off_context:
         header.write("GV_OFF_CONTEXT:" + ",".join(
-            f'"*-{s}+*"' for s in gv_off_context) + "\n")
-    header.write("COMMENT:hts_train_world_tpu\n")
+            f'"*-{s}+*"' for s in gv_off_context))
+    header.write("\n")
+    header.write("COMMENT:\n")
     header.write("[STREAM]\n")
     for st in streams:
         tag = STREAM_NAMES.get(st.name, st.name.upper())
@@ -218,7 +247,8 @@ def _parse_trees(text: str, dim: int, payload: bytes, msd: bool):
                 qname, no_ref, yes_ref = nodes[int(ref)]
                 return Node(questions[qname], build(yes_ref), build(no_ref))
 
-            root = build(str(min(nodes)))
+            # HHEd numbering: root is node 0, deeper nodes are -1, -2, ...
+            root = build(str(max(nodes)))
         trees.append(Tree(root, leaves))
         msd_w.append(np.asarray(weights) if msd else None)
     return trees, msd_w
@@ -226,14 +256,18 @@ def _parse_trees(text: str, dim: int, payload: bytes, msd: bool):
 
 def load_htsvoice(path: str):
     """Load an exported voice back into per-stream trees + params:
-    {stream: {"trees": [Tree], "msd_weights": [...]}} plus globals."""
+    {stream: {"trees": [Tree], "msd_weights": [...], "windows": [...],
+    "gv_tree": Tree|None}} plus globals."""
     hdr = read_htsvoice_header(path)
     data = open(path, "rb").read()
     body = data[data.index(b"[DATA]\n") + 7:]
 
-    def payload(tag):
-        s, e = hdr[tag].split("-")
+    def one_range(r):
+        s, e = r.split("-")
         return body[int(s):int(e) + 1]
+
+    def payload(tag):
+        return one_range(hdr[tag])
 
     stream_names = hdr["STREAM_TYPE"].split(",")
     inv = {v: k for k, v in STREAM_NAMES.items()}
@@ -250,13 +284,33 @@ def load_htsvoice(path: str):
         ttext = payload(f"STREAM_TREE[{tag}]").decode()
         pdf = payload(f"STREAM_PDF[{tag}]")
         # infer dim: total bytes = 4*S + sum(counts)*(2*dim(+2))*4
-        # parse counts first with a probe
         # (counts are the first S int32s)
         counts = struct.unpack(f"<{n_states}i", pdf[:4 * n_states])
         total = len(pdf) - 4 * n_states
         per_leaf_f = total // (4 * sum(counts))
         dim = (per_leaf_f - (2 if msd else 0)) // 2
         trees, msd_w = _parse_trees(ttext, dim, pdf, msd)
+        # delta windows: one byte range per window file
+        windows = []
+        for r in hdr[f"STREAM_WIN[{tag}]"].split(","):
+            toks = one_range(r).decode().split()
+            windows.append(tuple(float(v) for v in toks[1:]))
+        gv_tree = None
+        if hdr.get(f"GV_PDF[{tag}]"):
+            gpdf = payload(f"GV_PDF[{tag}]")
+            (gcount,) = struct.unpack("<i", gpdf[:4])
+            gdim = (len(gpdf) - 4) // (8 * gcount)
+            if f"GV_TREE[{tag}]" in hdr:
+                gtrees, _ = _parse_trees(
+                    payload(f"GV_TREE[{tag}]").decode(), gdim, gpdf, False)
+                gv_tree = gtrees[0]
+            else:
+                vals = np.frombuffer(gpdf, "<f4", 2 * gdim, 4)
+                from hts_train_world_tpu.models.clustering import Node, Tree
+                gv_tree = Tree(Node(leaf_id=0),
+                               [(vals[:gdim].astype(float),
+                                 vals[gdim:].astype(float))])
         out["streams"][name] = {"trees": trees, "msd_weights": msd_w,
-                                "static_dim": dim_static, "is_msd": msd}
+                                "static_dim": dim_static, "is_msd": msd,
+                                "windows": windows, "gv_tree": gv_tree}
     return out

@@ -53,10 +53,18 @@ def cheaptrick_noise(f0, fs: int, fft_size: int, stream):
     return noise_win, noise_spec
 
 
-@partial(jax.jit, static_argnames=("fs", "fft_size", "q1"))
+@partial(jax.jit, static_argnames=("fs", "fft_size", "q1", "use_pallas"))
 def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
-               q1: float = -0.15, noise_win=None, noise_spec=None):
-    """CheapTrick (cheaptrick.cpp:200-228) -> spectrogram (T, N/2+1)."""
+               q1: float = -0.15, noise_win=None, noise_spec=None,
+               use_pallas: bool = False):
+    """CheapTrick (cheaptrick.cpp:200-228) -> spectrogram (T, N/2+1).
+
+    use_pallas=True (f32 fast mode only, noise_win=None) computes the
+    F0-adaptive windowed-waveform matrix with the fused Pallas kernel
+    (ops/pallas/window_gather.py) — one contiguous DMA per frame instead
+    of XLA's per-element gather; gated in tests against the jnp
+    formulation (interpret mode) and ablated on real TPU by
+    tools/profile_pallas_window.py."""
     dtype = x.dtype
     L = x.shape[0]
     N = fft_size or cfg.cheaptrick_fft_size(fs)
@@ -88,25 +96,36 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
     else:
         xp, pad = None, 0
 
-    def frame(pos, f0i, nw, ns):
-        h = prims.matlab_round_i(1.5 * fs / f0i)
-        j = jnp.arange(N)
-        valid = j <= 2 * h
-        base_index = j - h
-        origin = prims.matlab_round_i(pos * fs + 0.001)
-        position = base_index.astype(dtype) / 1.5 / fs
-        w = 0.5 * jnp.cos(jnp.pi * position * f0i) + 0.5
-        w = jnp.where(valid, w, 0.0)
-        w = w / jnp.sqrt(jnp.sum(w * w))
-        if xp is not None:
-            seg = jax.lax.dynamic_slice(xp, (origin - h + pad,), (N,))
+    pallas_wave = None
+    if use_pallas and dtype == jnp.float32:
+        from hts_train_world_tpu.ops.pallas import window_gather
+        halfs = prims.matlab_round_i(1.5 * fs / cf0)
+        origins = prims.matlab_round_i(temporal_positions * fs + 0.001)
+        pallas_wave = window_gather.windowed_frames(x, origins, halfs,
+                                                    cf0, N, fs)
+
+    def frame(pos, f0i, nw, ns, pwave):
+        if pwave is not None:
+            wave = pwave
         else:
-            seg = jnp.take(x, jnp.clip(origin + base_index, 0, L - 1),
-                           mode="clip")
-        wave = jnp.where(valid, seg * w
-                         + nw * cfg.K_MY_SAFE_GUARD_MINIMUM, 0.0)
-        coef = jnp.sum(wave) / jnp.sum(w)
-        wave = jnp.where(valid, wave - w * coef, 0.0)
+            h = prims.matlab_round_i(1.5 * fs / f0i)
+            j = jnp.arange(N)
+            valid = j <= 2 * h
+            base_index = j - h
+            origin = prims.matlab_round_i(pos * fs + 0.001)
+            position = base_index.astype(dtype) / 1.5 / fs
+            w = 0.5 * jnp.cos(jnp.pi * position * f0i) + 0.5
+            w = jnp.where(valid, w, 0.0)
+            w = w / jnp.sqrt(jnp.sum(w * w))
+            if xp is not None:
+                seg = jax.lax.dynamic_slice(xp, (origin - h + pad,), (N,))
+            else:
+                seg = jnp.take(x, jnp.clip(origin + base_index, 0, L - 1),
+                               mode="clip")
+            wave = jnp.where(valid, seg * w
+                             + nw * cfg.K_MY_SAFE_GUARD_MINIMUM, 0.0)
+            coef = jnp.sum(wave) / jnp.sum(w)
+            wave = jnp.where(valid, wave - w * coef, 0.0)
 
         if use_matmul:
             # measured: identical f32 accuracy to jnp.fft on this input
@@ -140,4 +159,8 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
         wave2 = jnp.fft.irfft(spec2.astype(C.dtype), N) * N
         return jnp.exp(wave2[:half + 1])
 
-    return jax.vmap(frame)(temporal_positions, cf0, noise_win, noise_spec)
+    if pallas_wave is not None:
+        return jax.vmap(frame)(temporal_positions, cf0, noise_win,
+                               noise_spec, pallas_wave)
+    return jax.vmap(lambda pos, f0i, nw, ns: frame(pos, f0i, nw, ns, None))(
+        temporal_positions, cf0, noise_win, noise_spec)

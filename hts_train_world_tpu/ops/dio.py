@@ -53,6 +53,12 @@ def zero_crossings(sig, length: int, fs, cap: int):
     intervals = fs / (fine_next - fine)
     locations = (fine + fine_next) / 2.0 / fs
     n = jnp.where(n_edges < 2, 0, n_edges - 1)
+    # cap-saturation guard: if the crossing count exceeds the compaction
+    # cap (e.g. wideband noise leaking through the LPF transition band),
+    # the truncated streams would corrupt candidates for the rest of the
+    # utterance — degrade to "no candidate" (n=0 makes _band_candidate
+    # emit cand=0 / score=MAX) instead of wrong F0.
+    n = jnp.where(n_edges > cap, 0, n)
     return locations, intervals, n
 
 

@@ -58,9 +58,14 @@ def _kernel(origin_ref, h_ref, f0_ref, xpad_ref, out_ref, scratch, sems,
 
 @partial(jax.jit, static_argnames=("N", "fs", "interpret"))
 def windowed_frames(x, origins, halfs, f0s, N: int, fs: int,
-                    interpret: bool = False):
+                    interpret: bool | None = None):
     """x (L,) f32; origins/halfs (T,) i32; f0s (T,) f32 -> (T, N)
-    CheapTrick-windowed frames (Hann convention, noise-free fast path)."""
+    CheapTrick-windowed frames (Hann convention, noise-free fast path).
+
+    interpret=None resolves at trace time: Mosaic on TPU, the Pallas
+    interpreter elsewhere (so CPU tests exercise the same call path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     T = origins.shape[0]
     Tp = ((T + ROWS - 1) // ROWS) * ROWS
     if Tp != T:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import glob
 import os
+import subprocess
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -92,7 +93,10 @@ class SingingPipeline:
                         assert sr == self.cfg.fs, \
                             f"{bases[i]}: fs {sr} != {self.cfg.fs}"
                         sigs[i] = x
-            except OSError:  # no native toolchain: python reader
+            except (OSError, subprocess.CalledProcessError):
+                # no native toolchain (or a broken one — native.load
+                # raises CalledProcessError when g++ exists but the
+                # compile fails): fall back to the python wav reader
                 for i, p in enumerate(paths):
                     x, fs = wavio.wavread(p)
                     assert fs == self.cfg.fs, \
