@@ -117,7 +117,8 @@ def cluster_states(stats_by_context: Dict[str, SuffStats],
                    questions: Sequence[Question],
                    mdl_factor: float = 1.0, min_occupancy: float = 1.0,
                    var_floor: float = 1e-8,
-                   msd_by_context: Dict[str, SuffStats] = None) -> Tree:
+                   msd_by_context: Dict[str, SuffStats] = None,
+                   dim: int = 0) -> Tree:
     """Build one tree for one (stream, state) position.
 
     For MSD streams pass `msd_by_context` (gamma = total frames,
@@ -133,7 +134,10 @@ def cluster_states(stats_by_context: Dict[str, SuffStats],
     else:
         contexts = list(stats_by_context)
     some = next(iter(stats_by_context.values()), None)
-    D = len(some.s1) if some is not None else 1
+    # dim: the stream width, for streams with NO Gaussian stats at all
+    # (e.g. an MSD stream that never saw a present frame) — the leaves
+    # must still carry correctly-shaped pdfs
+    D = len(some.s1) if some is not None else max(dim, 1)
     zero = SuffStats(0.0, np.zeros(D), np.zeros(D))
     mzero = SuffStats(0.0, np.zeros(1), np.zeros(1))
 

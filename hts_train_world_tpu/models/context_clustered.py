@@ -137,7 +137,8 @@ def build_clustered_model(modelset: hsmm.ModelSet, stream_stats, msd_stats,
     for st in modelset.streams:
         trees[st.name] = [clustering.cluster_states(
             stream_stats[st.name][s], questions, mdl_factor, min_occupancy,
-            msd_by_context=(msd_stats[st.name][s] if st.msd else None))
+            msd_by_context=(msd_stats[st.name][s] if st.msd else None),
+            dim=st.sl.stop - st.sl.start)
             for s in range(S)]
         if st.msd:
             per_state = []

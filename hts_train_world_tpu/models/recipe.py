@@ -9,11 +9,19 @@ the MSD-HSMM stack:
   ERST0   monophone embedded re-estimation — full Baum-Welch, plain or
           DAEM-annealed (Training.pl:417-446)
   CXCL/ERST2   full-context stats -> MDL tree clustering -> tied model
-  FALGN   Viterbi forced alignment (HSMMAlign)
+  FALGN   Viterbi forced alignment under the CLUSTERED model
+          (HSMMAlign on the tied mmf, Training.pl:601-618)
   SEMIT   semi-tied covariance transforms (Training.pl:1017-1035)
   UPMIX/ERST5  1->2 mixture split + embedded mixture EM
           (Training.pl:1076-1098)
-  CONVM   .htsvoice export (models/voice.py)
+  MCDGV   context-dependent GV models from per-utterance static
+          variances (Training.pl:620-685, make_data_gv :1402-1491)
+  MSPF    modulation-spectrum postfilter statistics from aligned
+          generations (Training.pl:687-724, make_mspf :3133-3221)
+  PGEN/WGEN  parameter generation + WORLD synthesis for unseen labels
+          (synthesize_utterance; Training.pl:730-759)
+  CONVM   .htsvoice export incl. GV sections (export;
+          Training.pl:761-797)
 
 Each stage is idempotent over an in-memory `RecipeState`; callers can
 run stages selectively exactly like the reference's Config.pm switches.
@@ -21,12 +29,13 @@ run stages selectively exactly like the reference's Config.pm switches.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from hts_train_world_tpu.models import context_clustered, hsmm
+from hts_train_world_tpu.models import context_clustered, gv_model, hsmm
 from hts_train_world_tpu.models import hsmm_variants as hv
+from hts_train_world_tpu.models import pgen as pgen_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +62,17 @@ class RecipeConfig:
     semitied_iters: int = 20     # MAXSEMITIEDITER
     # E-step flavor for embedded stages
     soft_counts: bool = True     # full BW (HERest) vs segmental (HInit)
+    # voice building (MCDGV/MSPF/PGEN/WGEN/CONVM, Training.pl:620-797)
+    n_win: int = 3               # delta windows in the cmp layout
+    use_gv: bool = True          # $useHmmGV
+    cdgv: bool = True            # $cdgv (context-dependent GV trees)
+    nosilgv: bool = True         # $nosilgv (drop silence frames from GV)
+    silence_phones: Tuple[str, ...] = ("sil", "pau")   # @slnt
+    use_mspf: bool = False       # $useMSPF
+    mspf_weight: float = 1.0
+    pgtype: int = 0              # HMGenS -c {0,1,2}
+    postfilter_mcp: float = 0.0  # mcep postfilter strength (ref 1.4)
+    alpha: float = 0.42          # frequency warping for the postfilter
 
 
 @dataclasses.dataclass
@@ -62,6 +82,8 @@ class RecipeState:
     mixture: Optional[hv.MixtureModelSet] = None
     semitied: Optional[hv.SemiTiedModelSet] = None
     alignments: Optional[Dict[int, np.ndarray]] = None
+    gv: Optional[gv_model.GVModel] = None
+    mspf: Optional[tuple] = None     # (nat, gen) MspfStats
     log_history: List[str] = dataclasses.field(default_factory=list)
 
 
@@ -178,18 +200,145 @@ def train_voice(corpus, questions, cfg: RecipeConfig = RecipeConfig(),
                 max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
                 log=say)
 
-    # ---- FALGN: forced alignment ------------------------------------
-    say("FALGN: Viterbi forced alignment")
+    # ---- FALGN: forced alignment under the CLUSTERED model -----------
+    # (the reference aligns with the re-estimated tied mmf, not the
+    # monophone set: HSMMAlign -H $reclmmf, Training.pl:613)
+    say("FALGN: Viterbi forced alignment (clustered model)")
     state.alignments = {}
-    for ui, (frames, _) in enumerate(corpus):
+    for ui, (frames, ctx_seq) in enumerate(corpus):
         try:
-            _, ends = hsmm.align_utterance(ms, frames, mono_seqs[ui],
-                                           cfg.max_dur)
+            _, ends, _ = context_clustered.align_with_clustered(
+                state.clustered, frames, ctx_seq, cfg.max_dur)
         except ValueError as e:
             # drop unalignable utterances like the reference's screening
             # gates (data/Makefile.in:216-238, Training.pl:601-618)
             say(f"FALGN: dropping utt {ui}: {e}")
             continue
         state.alignments[ui] = ends
+
+    # ---- MCDGV: context-dependent GV models ---------------------------
+    if cfg.use_gv:
+        say("MCDGV: GV models from per-utterance static variances")
+        state.gv = make_gv(state, corpus, cfg, questions)
+
+    # ---- MSPF: modulation-spectrum postfilter statistics --------------
+    if cfg.use_mspf:
+        say("MSPF: natural/generated modulation-spectrum statistics")
+        state.mspf = make_mspf(state, corpus, cfg)
+
     say("recipe complete")
     return state
+
+
+# ---------------------------------------------------------------------------
+# MCDGV (Training.pl:620-685) — per-utterance GV observations
+# ---------------------------------------------------------------------------
+
+
+def _statics(frames: np.ndarray, st: hsmm.StreamDef, n_win: int):
+    """Static block of one stream from cmp-layout frames (the window
+    expansion is [static | delta | delta2], features/windows.py)."""
+    width = (st.sl.stop - st.sl.start) // n_win
+    return frames[:, st.sl.start:st.sl.start + width]
+
+
+def _phone_ends(state: RecipeState, ui: int, n_states: int):
+    ends = state.alignments.get(ui)
+    return None if ends is None else ends[n_states - 1::n_states]
+
+
+def make_gv(state: RecipeState, corpus, cfg: RecipeConfig,
+            questions) -> gv_model.GVModel:
+    """make_data_gv + MCDGV: per utterance, the per-dimension variance of
+    each stream's statics over non-silence (and MSD-present) frames, one
+    observation labeled by the utterance's first full-context label,
+    clustered by the usual questions when cdgv (Training.pl:1402-1491)."""
+    model = state.clustered
+    obs = []
+    for ui, (frames, ctx_seq) in enumerate(corpus):
+        keep = np.ones(len(frames), bool)
+        if cfg.nosilgv and cfg.silence_phones:
+            pe = _phone_ends(state, ui, cfg.n_states)
+            if pe is not None:
+                keep = gv_model.silence_keep_mask(
+                    [context_clustered.phone_of(c) for c in ctx_seq],
+                    pe, cfg.silence_phones, len(frames))
+        statics = {}
+        keeps = {}
+        for st in model.streams:
+            statics[st.name] = _statics(frames, st, cfg.n_win)
+            k = keep
+            if st.msd:
+                k = keep & (frames[:, st.msd_flag_col] != 0.0)
+            keeps[st.name] = k
+        ctx0 = ctx_seq[0] if cfg.cdgv else "gv"
+        obs.append((ctx0, statics, keeps))
+    stats = gv_model.gv_observations(obs)
+    return gv_model.build_gv_model(
+        stats, questions, mdl_factor=cfg.mdl_factor,
+        min_occupancy=cfg.min_occupancy, context_dependent=cfg.cdgv)
+
+
+# ---------------------------------------------------------------------------
+# MSPF (Training.pl:687-724) — natural vs aligned-generation stats
+# ---------------------------------------------------------------------------
+
+
+def make_mspf(state: RecipeState, corpus, cfg: RecipeConfig):
+    """Natural mgc statics vs parameters generated under the FORCED
+    alignment (HMGenS -m with fal labels, Training.pl:713-721): the two
+    modulation-spectrum statistics the postfilter maps between."""
+    from hts_train_world_tpu.ops import postfilter as pf_mod
+    model = state.clustered
+    mgc_st = next(st for st in model.streams if st.name == "mgc")
+    nat_trajs, gen_trajs = [], []
+    for ui, (frames, ctx_seq) in enumerate(corpus):
+        ends = state.alignments.get(ui)
+        if ends is None:
+            continue
+        durs = np.diff(np.concatenate([[0], ends]))
+        fp = pgen_mod.frame_params(model, ctx_seq, durs)
+        statics = pgen_mod.mlpg_streams(fp, model.streams, cfg.n_win)
+        nat_trajs.append(_statics(frames, mgc_st, cfg.n_win))
+        gen_trajs.append(statics["mgc"])
+    nat = pf_mod.mspf_stats(nat_trajs)
+    gen = pf_mod.mspf_stats(gen_trajs)
+    return nat, gen
+
+
+# ---------------------------------------------------------------------------
+# PGEN + WGEN (Training.pl:730-759) — label sequence -> waveform
+# ---------------------------------------------------------------------------
+
+
+def synthesize_utterance(state: RecipeState, label_seq: Sequence[str],
+                         cfg: RecipeConfig, fs: int,
+                         frame_period: float = 5.0, fft_size: int = 0,
+                         rho: float = 0.0, durs=None):
+    """Generate one utterance from the trained voice: durations (pgtype /
+    rho) -> MLPG -> GV -> postfilter -> WORLD synthesis.  Returns
+    (waveform, statics, vuv, durs)."""
+    gcfg = pgen_mod.GenConfig(
+        pgtype=cfg.pgtype, rho=rho, max_dur=cfg.max_dur, n_win=cfg.n_win,
+        use_gv=cfg.use_gv and state.gv is not None,
+        postfilter_mcp=cfg.postfilter_mcp, alpha=cfg.alpha)
+    statics, vuv, durs = pgen_mod.generate_parameters(
+        state.clustered, label_seq, gcfg, gv_model=state.gv, durs=durs,
+        mspf=state.mspf if cfg.use_mspf else None,
+        mspf_weight=cfg.mspf_weight)
+    y = pgen_mod.generate_waveform(statics, vuv, fs, fft_size,
+                                   frame_period)
+    return y, statics, vuv, durs
+
+
+def export(state: RecipeState, path: str, fs: int, frame_shift: int,
+           cfg: RecipeConfig, alpha: float = 0.0) -> None:
+    """CONVM: package the trained voice (+ GV models) as .htsvoice."""
+    model = state.clustered
+    static_dims = {st.name: (st.sl.stop - st.sl.start) // cfg.n_win
+                   for st in model.streams}
+    context_clustered.export_voice(
+        model, path, fs, frame_shift, static_dims, gv_model=state.gv,
+        alpha=alpha or cfg.alpha,
+        gv_off_context=tuple(f"*-{p}+*" for p in cfg.silence_phones)
+        if cfg.nosilgv else ())

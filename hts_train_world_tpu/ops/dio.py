@@ -53,13 +53,20 @@ def zero_crossings(sig, length: int, fs, cap: int):
     intervals = fs / (fine_next - fine)
     locations = (fine + fine_next) / 2.0 / fs
     n = jnp.where(n_edges < 2, 0, n_edges - 1)
-    # cap-saturation guard: if the crossing count exceeds the compaction
-    # cap (e.g. wideband noise leaking through the LPF transition band),
-    # the truncated streams would corrupt candidates for the rest of the
-    # utterance — degrade to "no candidate" (n=0 makes _band_candidate
-    # emit cand=0 / score=MAX) instead of wrong F0.
-    n = jnp.where(n_edges > cap, 0, n)
-    return locations, intervals, n
+    # cap-saturation guard: when the crossing count exceeds the compaction
+    # cap (wideband noise in the LPF transition band, or a zero-padded
+    # tail whose filtered residue oscillates around 0), the arrays hold
+    # only the first `cap` edges.  Crossings are time-ordered, so the
+    # kept prefix is still exact — clamp n to it and report the last
+    # covered time so the caller degrades frames PAST it to "no
+    # candidate" instead of extrapolating garbage (or, worse, killing
+    # the whole band for frames whose events were all kept).
+    saturated = n_edges > cap
+    n = jnp.minimum(n, cap - 1)
+    last_loc = jnp.take(locations, jnp.maximum(n - 1, 0), mode="clip")
+    t_limit = jnp.where(saturated, last_loc,
+                        jnp.asarray(jnp.finfo(dtype).max, dtype))
+    return locations, intervals, n, t_limit
 
 
 def _four_zero_crossings(filtered, y_length: int, actual_fs, cap: int):
@@ -85,15 +92,18 @@ def _band_candidate(filtered, y_length: int, actual_fs, boundary_f0: float,
     streams = _four_zero_crossings(filtered, y_length, actual_fs, cap)
     interped = []
     enough = jnp.asarray(True)
-    for locs, vals, n in streams:
+    t_limit = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    for locs, vals, n, tl in streams:
         enough = enough & (n > 2)  # CheckEvent(n-2), dio.cpp:475-478
+        t_limit = jnp.minimum(t_limit, tl)
         interped.append(prims.interp1(locs, vals, temporal_positions,
                                       n_valid=n))
     f = jnp.stack(interped)  # (4, T)
     cand = jnp.mean(f, axis=0)
     score = jnp.sqrt(jnp.sum((f - cand) ** 2, axis=0) / 3.0)
     bad = ((cand > boundary_f0) | (cand < boundary_f0 / 2.0)
-           | (cand > f0_ceil) | (cand < f0_floor))
+           | (cand > f0_ceil) | (cand < f0_floor)
+           | (temporal_positions > t_limit))
     cand = jnp.where(bad, 0.0, cand)
     score = jnp.where(bad, cfg.K_MAXIMUM_VALUE, score)
     cand = jnp.where(enough, cand, jnp.zeros((), dtype))

@@ -106,6 +106,11 @@ def banded_ldlt_solve(diags, rhs):
 def mlpg(means, variances, windows=DEFAULT_WINDOWS):
     """means/variances: (T, n_win, D) -> statics (T, D)."""
     wins = tuple(tuple(w) for w in windows)
+    if window_bandwidth(wins) == 0:
+        # statics-only windows: W = I per window, so the normal system is
+        # diagonal — the solution is the precision-weighted mean
+        prec = 1.0 / variances
+        return jnp.sum(means * prec, axis=1) / jnp.sum(prec, axis=1)
 
     def per_dim(mu, var):
         diags, rhs = build_banded_normal(mu, 1.0 / var, wins)

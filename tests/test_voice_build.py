@@ -1,0 +1,192 @@
+"""The complete HMM voice build, label -> wav — the reference's main
+artifact (Training.pl:264-797): analyze+encode a synthetic singing
+corpus, train the full recipe (monophone EM -> clustering -> tied EM ->
+FALGN on the clustered model -> MCDGV -> MSPF), synthesize an unseen
+label sequence (PGEN: durations -> MLPG -> GV -> MSPF postfilter; WGEN:
+WORLD), and export/reload the .htsvoice with GV sections.
+
+Audio-quality gates: the generated waveform is non-silent in the sung
+region, silent-ish in the sil region, and its DIO F0 tracks each note's
+target pitch.
+"""
+import numpy as np
+import pytest
+
+from hts_train_world_tpu import cli as cli_mod
+from hts_train_world_tpu import vocoder
+from hts_train_world_tpu.features import compose
+from hts_train_world_tpu.features import qconf
+from hts_train_world_tpu.models import clustering, hsmm, recipe, voice
+
+FS = 16000
+FP = 5.0
+SHIFT = int(FS * FP / 1000.0)          # 80 samples
+LAYOUT = compose.StreamLayout(mgc_dim=12, lf0_dim=1, bap_dim=3, vib_dim=1)
+NOTES = {"n0": 220.0, "n1": 277.2, "n2": 329.6}
+
+
+def _note_audio(f0, n_samples, rng):
+    t = np.arange(n_samples) / FS
+    x = sum(a * np.sin(2 * np.pi * f0 * (h + 1) * t + rng.uniform(0, 6.28))
+            for h, a in enumerate([0.55, 0.25, 0.12, 0.05]))
+    return 0.6 * x
+
+
+def _utterance(rng, phones, frames_per):
+    """Audio + frame ends for a phone sequence (sil = silence)."""
+    segs = []
+    ends = []
+    total = 0
+    for p, nf in zip(phones, frames_per):
+        n = nf * SHIFT
+        if p == "sil":
+            segs.append(0.0005 * rng.standard_normal(n))
+        else:
+            segs.append(_note_audio(NOTES[p], n, rng)
+                        + 0.0005 * rng.standard_normal(n))
+        total += nf
+        ends.append(total)
+    return np.concatenate(segs), np.asarray(ends)
+
+
+def _ctx(phones, tag):
+    return [f"x^x-{p}+x=x/E:{tag}]" for p in phones]
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    plans = [
+        (["sil", "n0", "n1", "n2", "sil"], [14, 40, 44, 48, 14]),
+        (["sil", "n1", "n0", "n2", "sil"], [14, 44, 40, 48, 14]),
+        (["sil", "n2", "n1", "n0", "sil"], [14, 48, 44, 40, 14]),
+        (["sil", "n0", "n2", "n1", "sil"], [14, 40, 48, 44, 14]),
+        (["sil", "n1", "n2", "n0", "sil"], [14, 44, 48, 40, 14]),
+        (["sil", "n2", "n0", "n1", "sil"], [14, 48, 40, 44, 14]),
+    ]
+    corpus, spans = [], {}
+    for ui, (phones, frames_per) in enumerate(plans):
+        x, ends = _utterance(rng, phones, frames_per)
+        a = vocoder.analyze(np.asarray(x), FS, FP, parity=False)
+        lf0, mgc, bap = cli_mod.encode_features(
+            a.f0, a.spectrogram, a.aperiodicity, FS, a.fft_size,
+            LAYOUT.mgc_dim, LAYOUT.bap_dim)
+        T = lf0.shape[0]
+        vib = np.zeros((T, LAYOUT.vib_dim))
+        cmp_ = compose.compose_cmp(np.asarray(mgc),
+                                   np.asarray(lf0)[:, None],
+                                   np.asarray(bap), vib, LAYOUT)
+        corpus.append((cmp_.astype(np.float64), _ctx(phones, 1 + ui % 2)))
+        spans[ui] = np.minimum(ends, T)
+    feats = qconf.parse_config("""
+C-Phone_sil {*-sil+*}
+C-Phone_n0 {*-n0+*}
+C-Phone_n1 {*-n1+*}
+C-Phone_n2 {*-n2+*}
+C-Note {*/E:%d]*} MIN=0 MAX=3
+""")
+    questions = clustering.questions_from_config(feats)
+    cfg = recipe.RecipeConfig(
+        n_states=3, n_iters=2, max_dur=80, mdl_factor=0.4,
+        min_occupancy=0.5, tied_iters=1, recluster=False,
+        use_gv=True, cdgv=False, nosilgv=True, silence_phones=("sil",),
+        use_mspf=True, alpha=0.42)
+    st = recipe.train_voice(corpus, questions, cfg,
+                            streams=hsmm.world_streams(LAYOUT),
+                            bootstrap_spans=spans, log=lambda m: None)
+    return st, cfg, corpus
+
+
+def test_trained_state_complete(built):
+    st, cfg, corpus = built
+    assert st.clustered is not None
+    assert st.gv is not None and {"mgc", "lf0"} <= set(st.gv.trees)
+    assert st.mspf is not None
+    nat, gen = st.mspf
+    assert nat.mean.shape == (LAYOUT.mgc_dim, 33)
+    # every utterance force-aligned under the clustered model
+    for ui, (frames, _) in enumerate(corpus):
+        assert st.alignments[ui][-1] == len(frames)
+
+
+def test_label_to_wav(built):
+    st, cfg, corpus = built
+    phones = ["sil", "n2", "n0", "n1", "sil"]
+    labels = _ctx(phones, 1)
+    y, statics, vuv, durs = recipe.synthesize_utterance(
+        st, labels, cfg, FS, FP)
+    assert np.isfinite(y).all() and len(y) > 0
+
+    # phone frame spans from the generated durations
+    S = st.clustered.n_states
+    pe = np.cumsum(durs.reshape(-1, S).sum(1))
+    ps = np.concatenate([[0], pe[:-1]])
+
+    # energy: sung region loud, sil region quiet
+    def rms(a, b):
+        seg = y[a * SHIFT:b * SHIFT]
+        return float(np.sqrt(np.mean(seg ** 2))) if len(seg) else 0.0
+    sung = rms(ps[1], pe[3])
+    sil = rms(ps[0] + 2, pe[0] - 2)
+    assert sung > 0.01
+    assert sil < 0.25 * sung
+
+    # F0 tracking: DIO on the generated audio matches each note
+    _, f0g = vocoder.estimate_f0(np.asarray(y, np.float64), FS, FP)
+    f0g = np.asarray(f0g)
+    for pi, p in enumerate(phones):
+        if p == "sil":
+            continue
+        a, b = ps[pi] + 4, pe[pi] - 4
+        seg = f0g[a:min(b, len(f0g))]
+        seg = seg[seg > 0]
+        assert len(seg) > 5, f"{p}: no voiced frames"
+        err = abs(np.median(seg) - NOTES[p]) / NOTES[p]
+        assert err < 0.05, f"{p}: median f0 {np.median(seg):.1f}"
+
+
+def test_gv_and_mspf_change_output(built):
+    st, cfg, corpus = built
+    labels = _ctx(["sil", "n1", "sil"], 1)
+    import dataclasses
+    off = dataclasses.replace(cfg, use_gv=False, use_mspf=False)
+    y0, s0, _, d0 = recipe.synthesize_utterance(st, labels, off, FS, FP)
+    y1, s1, _, d1 = recipe.synthesize_utterance(st, labels, cfg, FS, FP)
+    assert (d0 == d1).all()
+    # GV widens the mgc variance toward the corpus statistic
+    v0 = np.var(s0["mgc"], axis=0)
+    v1 = np.var(s1["mgc"], axis=0)
+    gv_mean, _ = st.gv.params("mgc", labels[0])
+    assert np.abs(np.log(v1[1:] / gv_mean[1:])).mean() < \
+        np.abs(np.log(np.maximum(v0[1:], 1e-12) / gv_mean[1:])).mean()
+
+
+def test_export_and_reload_voice(built, tmp_path):
+    st, cfg, corpus = built
+    path = str(tmp_path / "test.htsvoice")
+    recipe.export(st, path, FS, SHIFT, cfg)
+    data = open(path, "rb").read()
+    assert b"GV_PDF[MGC]" in data and b"GV_TREE[MGC]" in data
+    loaded = voice.load_htsvoice(path)
+    assert int(loaded["global"]["NUM_STATES"]) == 3
+    assert loaded["streams"]["mgc"]["gv_tree"] is not None
+    gv_mean, _ = loaded["streams"]["mgc"]["gv_tree"].leaf_params[0]
+    exp_mean, _ = built[0].gv.params("mgc")
+    np.testing.assert_allclose(gv_mean, exp_mean, rtol=1e-5)
+
+
+def test_pgtype1_differs_on_uncertain_alignment(built):
+    """pgtype 1 (EM over state sequences) moves the trajectory where the
+    state boundaries are uncertain; durations stay the total."""
+    st, cfg, corpus = built
+    import dataclasses
+    labels = _ctx(["sil", "n0", "n2", "sil"], 1)
+    c0 = dataclasses.replace(cfg, pgtype=0)
+    c1 = dataclasses.replace(cfg, pgtype=1, use_gv=False, use_mspf=False)
+    c0 = dataclasses.replace(c0, use_gv=False, use_mspf=False)
+    _, s0, _, d0 = recipe.synthesize_utterance(st, labels, c0, FS, FP)
+    _, s1, _, d1 = recipe.synthesize_utterance(st, labels, c1, FS, FP)
+    assert s0["mgc"].shape == s1["mgc"].shape
+    diff = np.abs(s0["mgc"] - s1["mgc"]).max()
+    assert diff > 1e-6   # the EM actually moved something
+    assert diff < 10.0   # ... but stayed near the ML solution
