@@ -72,13 +72,18 @@ def decode_features(lf0, mgc, bap, fs: int, fft_size: int):
 
 
 def analysis_main(argv):
+    algorithm = "dio"
+    if "--harvest" in argv:        # extension: Harvest F0 (harvest.cpp)
+        argv = [a for a in argv if a != "--harvest"]
+        algorithm = "harvest"
     wav, lf0_p, mgc_p, bap_p = argv[:4]
     fp = float(argv[4]) if len(argv) > 4 else 5.0
     fftlen = int(argv[5]) if len(argv) > 5 else 0
     mgc_dim = int(argv[6]) if len(argv) > 6 else 0
     bap_dim = int(argv[7]) if len(argv) > 7 else 24
     x, fs = wavio.wavread(wav)
-    a = vocoder.analyze(jnp.asarray(x), fs, fp, fft_size=fftlen)
+    a = vocoder.analyze(jnp.asarray(x), fs, fp, fft_size=fftlen,
+                        algorithm=algorithm)
     if mgc_dim:
         lf0, mgc, bap = encode_features(a.f0, a.spectrogram, a.aperiodicity,
                                         fs, a.fft_size, mgc_dim, bap_dim)

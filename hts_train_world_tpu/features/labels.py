@@ -71,3 +71,56 @@ def segment_frames(seg: LabelSegment, frame_period_ms: float, n_frames: int):
     start = max(math.floor(seg.start_ms / frame_period_ms), 0)
     end = min(math.floor(seg.end_ms / frame_period_ms), n_frames)
     return start, end
+
+
+# ---------------------------------------------------------------------------
+# state-level alignment labels — the HMM -> DNN bridge
+# (convert_dur2lab / convert_state2phone, Training.pl:1604-1674)
+# ---------------------------------------------------------------------------
+
+
+def state_alignment_lines(ctx_seq, state_ends, n_states: int,
+                          shift_100ns: int) -> str:
+    """State-aligned full-context label text from FALGN boundaries (or
+    generated durations): per chain state k of label i, a line
+
+        <start> <end> <ctx>[<k+2>][ <ctx> on the first state]
+
+    — the exact format convert_dur2lab writes (Training.pl:1637-1668;
+    state indices are HTK-numbered 2..nState+1, and the bare model name
+    rides on the first state's line).  state_ends: (n_labels*S,)
+    exclusive frame ends."""
+    lines = []
+    start = 0
+    for li, ctx in enumerate(ctx_seq):
+        for s in range(n_states):
+            end = int(state_ends[li * n_states + s])
+            a, b = start * shift_100ns, end * shift_100ns
+            tail = f" {ctx}" if s == 0 else ""
+            lines.append(f"{a} {b} {ctx}[{s + 2}]{tail}")
+            start = end
+    return "\n".join(lines) + "\n"
+
+
+def durations_to_state_lines(ctx_seq, durs, n_states: int,
+                             shift_100ns: int) -> str:
+    """convert_dur2lab from HMGenS durations: durs (n_labels*S,)."""
+    import numpy as np
+    return state_alignment_lines(ctx_seq, np.cumsum(np.asarray(durs)),
+                                 n_states, shift_100ns)
+
+
+def phone_alignment_lines(ctx_seq, state_ends, n_states: int,
+                          shift_100ns: int,
+                          phone_re=re.compile(r"^.+?-(.+?)\+")) -> str:
+    """convert_state2phone (Training.pl:1604-1635): one line per label,
+    '<start> <end> <phone>' spanning its first..last state."""
+    lines = []
+    start = 0
+    for li, ctx in enumerate(ctx_seq):
+        end = int(state_ends[(li + 1) * n_states - 1])
+        m = phone_re.search(ctx)
+        phone = m.group(1) if m else ctx
+        lines.append(f"{start * shift_100ns} {end * shift_100ns} {phone}")
+        start = end
+    return "\n".join(lines) + "\n"

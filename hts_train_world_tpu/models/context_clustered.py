@@ -337,6 +337,107 @@ def reestimate_clustered(model: ClusteredModel, utterances,
     return history
 
 
+def clone_full_context(modelset: hsmm.ModelSet, contexts) -> hsmm.ModelSet:
+    """MN2FL: one untied model per full context, cloned from its central
+    phone's monophone (Training.pl:449-478)."""
+    idx = [modelset.index(phone_of(c)) for c in contexts]
+    return hsmm.ModelSet(
+        list(contexts),
+        {n: m[idx].copy() for n, m in modelset.means.items()},
+        {n: v[idx].copy() for n, v in modelset.variances.items()},
+        {n: w[idx].copy() for n, w in modelset.msd_weights.items()},
+        modelset.dur_mean[idx].copy(), modelset.dur_var[idx].copy(),
+        modelset.streams)
+
+
+def clone_from_clustered(model: ClusteredModel, contexts) -> hsmm.ModelSet:
+    """UNTIE: untied full-context models initialized from the TIED
+    leaves (make_edfile_untie, Training.pl:553-566)."""
+    S = model.n_states
+    M = len(contexts)
+    means, vars_, msd_w = {}, {}, {}
+    for st in model.streams:
+        D = st.sl.stop - st.sl.start
+        means[st.name] = np.zeros((M, S, D))
+        vars_[st.name] = np.ones((M, S, D))
+        if st.msd:
+            msd_w[st.name] = np.full((M, S), 0.5)
+    dur_mean = np.zeros((M, S))
+    dur_var = np.ones((M, S))
+    for mi, ctx in enumerate(contexts):
+        dm, dv = model.durations(ctx)
+        dur_mean[mi] = dm
+        dur_var[mi] = dv
+        for s in range(S):
+            params = model.state_params(ctx, s)
+            for st in model.streams:
+                mean, var, w = params[st.name]
+                means[st.name][mi, s] = mean
+                vars_[st.name][mi, s] = var
+                if st.msd:
+                    msd_w[st.name][mi, s] = w
+    return hsmm.ModelSet(list(contexts), means, vars_, msd_w,
+                         dur_mean, dur_var, model.streams)
+
+
+def collect_context_stats_soft(full_ms: hsmm.ModelSet, utterances,
+                               max_dur: int = 40, n_reest: int = 1,
+                               var_floor_scale: float = 0.01,
+                               max_batch: int = 32, mesh=None,
+                               log=lambda m: None):
+    """Reference-true CXCL statistics flow (Training.pl:480-494): HERest
+    re-estimates the UNTIED full-context models (ERST1), then the
+    clustering statistics are that model's own soft occupancy counts
+    (HERest -s) — not monophone-alignment hard counts.
+
+    full_ms: the untied full-context set (clone_full_context for CXCL1,
+    clone_from_clustered for the UNTIE->CXCL2 round).  Runs on the
+    batched device E-step; psums over `mesh` when given."""
+    from hts_train_world_tpu.models import hsmm_batch
+    if n_reest > 0:
+        hsmm_batch.reestimate_modelset_batched(
+            full_ms, utterances, n_iters=n_reest,
+            var_floor_scale=var_floor_scale, max_dur=max_dur,
+            max_batch=max_batch, mesh=mesh, log=log)
+    # final soft E-step -> per-(context, state) sufficient statistics
+    tables = hsmm_batch.tables_from_modelset(full_ms)
+    chained = []
+    for f, seq in utterances:
+        r = hsmm_batch.chain_rows_modelset(full_ms, seq)
+        chained.append(hsmm_batch.ChainedUtterance(
+            np.asarray(f, float),
+            {st.name: r for st in full_ms.streams}, r))
+    M, S = full_ms.dur_mean.shape
+    n_rows = {st.name: M * S for st in full_ms.streams}
+    acc = hsmm_batch.corpus_estep(tables, chained, n_rows, M * S, max_dur,
+                                  max_batch=max_batch, mesh=mesh)
+    stream_stats = {st.name: [dict() for _ in range(S)]
+                    for st in full_ms.streams}
+    msd_stats = {st.name: [dict() for _ in range(S)]
+                 for st in full_ms.streams if st.msd}
+    dur_stats: Dict[str, clustering.SuffStats] = {}
+    for mi, ctx in enumerate(full_ms.names):
+        rows = slice(mi * S, (mi + 1) * S)
+        mass = acc.dur[rows, 0]
+        if mass.max() > 1e-8:
+            dur_stats[ctx] = clustering.SuffStats(
+                float(mass[0]), acc.dur[rows, 1].copy(),
+                acc.dur[rows, 2].copy())
+        for s in range(S):
+            r = mi * S + s
+            for si, st in enumerate(full_ms.streams):
+                a = acc.streams[si]
+                if st.msd and a["p_tot"][r] > 1e-8:
+                    msd_stats[st.name][s][ctx] = clustering.SuffStats(
+                        float(a["p_tot"][r]), np.array([a["p_occ"][r]]),
+                        np.array([a["p_occ"][r]]))
+                if a["occ"][r] > 1e-8:
+                    stream_stats[st.name][s][ctx] = clustering.SuffStats(
+                        float(a["occ"][r]), a["x"][r].copy(),
+                        a["x2"][r].copy())
+    return stream_stats, msd_stats, dur_stats
+
+
 def collect_context_stats_tied(model: ClusteredModel, utterances,
                                max_dur: int = 40):
     """UNTIE + stats: per-(context, state) statistics under alignments

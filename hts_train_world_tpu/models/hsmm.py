@@ -285,7 +285,7 @@ def align_utterance(modelset: ModelSet, frames: np.ndarray,
 
 @partial(jax.jit, static_argnames=("max_dur",))
 def forward_backward_segment(obs_ll, dur_mean, dur_var, max_dur: int = 40,
-                             temper: float = 1.0):
+                             temper: float = 1.0, t_len=None, k_len=None):
     """Soft-occupancy E-step over the composed left-to-right chain — the
     exact counterpart of HERest's full Baum-Welch (the reference's HERest,
     Training.pl:248-258, differs from HSMMAlign only in soft vs. hard
@@ -296,8 +296,17 @@ def forward_backward_segment(obs_ll, dur_mean, dur_var, max_dur: int = 40,
     obs_ll (T, S), dur_mean/var (S,).  Returns
     (log_evidence, gamma (T, S) frame occupancies,
      dur_stats (S, 3) = [segment mass, E[d]*mass, E[d^2]*mass]).
+
+    Padded-batch support (the vmapped corpus E-step pads utterances to a
+    bucket shape): `t_len`/`k_len` are the TRUE frame/chain-state counts
+    (traced scalars).  The DP then terminates at t_len (segments may not
+    cross it; backward starts there) and chain states >= k_len pass
+    through both recursions unchanged, so the result is bit-identical to
+    running the unpadded shapes.  None (default) means fully valid.
     """
     T, S = obs_ll.shape
+    t_len = T if t_len is None else t_len
+    k_len = S if k_len is None else k_len
     obs_ll = obs_ll * temper
     csum = jnp.concatenate([jnp.zeros((1, S), obs_ll.dtype),
                             jnp.cumsum(obs_ll, 0)], 0)  # (T+1, S)
@@ -307,16 +316,19 @@ def forward_backward_segment(obs_ll, dur_mean, dur_var, max_dur: int = 40,
 
     def seg_term(s):
         """(T+1, Dmax): [t0, d-1] -> dur_ll + sum obs_ll[t0:t0+d, s],
-        masked where t0+d > T."""
+        masked where t0+d > t_len."""
         dll = _dur_ll(ds, dur_mean[s], dur_var[s]) * temper
         te = t[:, None] + ds.astype(jnp.int32)[None, :]
-        valid = te <= T
+        valid = te <= t_len
         tec = jnp.clip(te, 0, T)
         seg = jnp.take(csum[:, s], tec) - csum[:, s][:, None]
         return jnp.where(valid, dll[None, :] + seg, NEG), tec, valid
 
-    # forward: F[s, t] = log P(states 0..s-1 complete at t, obs[0:t])
-    f0 = jnp.full(T + 1, NEG, obs_ll.dtype).at[0].set(0.0)
+    # forward: F[s, t] = log P(states 0..s-1 complete at t, obs[0:t]).
+    # (+ obs_ll[0,0]*0 derives the device-varying type under shard_map —
+    # scan carries must match their computed types, cf. fix_f0_contour)
+    f0 = (jnp.full(T + 1, NEG, obs_ll.dtype) + obs_ll[0, 0] * 0.0
+          ).at[0].set(0.0)
 
     def fwd_step(f_prev, s):
         terms, tec, valid = seg_term(s)
@@ -331,17 +343,21 @@ def forward_backward_segment(obs_ll, dur_mean, dur_var, max_dur: int = 40,
         f_next = jnp.where(acc > 0,
                            jnp.log(jnp.maximum(acc, 1e-300)) + mdest,
                            NEG)[:T + 1]
+        f_next = jnp.where(s < k_len, f_next, f_prev)  # padded state: skip
         return f_next, f_next
 
     _, F = jax.lax.scan(fwd_step, f0, jnp.arange(S))  # (S, T+1)
 
-    # backward: B[s, t0] = log P(obs[t0:T] | states s..S-1 start at t0)
-    bS = jnp.full(T + 1, NEG, obs_ll.dtype).at[T].set(0.0)
+    # backward: B[s, t0] = log P(obs[t0:t_len] | states s..S-1 start at t0)
+    t_len_i = jnp.asarray(t_len, jnp.int32)
+    bS = (jnp.full(T + 1, NEG, obs_ll.dtype) + obs_ll[0, 0] * 0.0
+          ).at[t_len_i].set(0.0)
 
     def bwd_step(b_next, s):
         terms, tec, valid = seg_term(s)
         cand = jnp.where(valid, terms + jnp.take(b_next, tec), NEG)
         b = jax.scipy.special.logsumexp(cand, axis=1)
+        b = jnp.where(s < k_len, b, b_next)            # padded state: skip
         return b, b
 
     _, Brev = jax.lax.scan(bwd_step, bS, jnp.arange(S - 1, -1, -1))
@@ -352,11 +368,14 @@ def forward_backward_segment(obs_ll, dur_mean, dur_var, max_dur: int = 40,
     # segment posteriors per state: xi[s](t0, d)
     Fin = jnp.concatenate([f0[None], F[:-1]], 0)   # (S, T+1): F before s
     Bout = jnp.concatenate([B[1:], bS[None]], 0)   # (S, T+1): B after s
+    # (padded rows of B hold bS via the pass-through, so Bout[k_len-1]
+    # is the t_len terminal as required)
 
     def gamma_state(s):
         terms, tec, valid = seg_term(s)
         xi = Fin[s][:, None] + terms + jnp.take(Bout[s], tec) - logZ
         p = jnp.where(valid, jnp.exp(jnp.minimum(xi, 0.0)), 0.0)
+        p = jnp.where(s < k_len, p, 0.0)
         # occupancy via the start/end difference trick
         starts = jnp.sum(p, axis=1)                       # add at t0
         ends = jnp.zeros(T + max_dur + 2, obs_ll.dtype).at[
@@ -536,19 +555,29 @@ def embedded_reestimate(modelset: ModelSet, utterances, n_iters: int = 3,
 def daem_reestimate(modelset: ModelSet, utterances, n_outer: int = 10,
                     n_inner: int = 1, alpha: float = 1.0,
                     var_floor_scale: float = 0.01, max_dur: int = 40,
-                    log=print):
+                    log=print, batched: bool = False, mesh=None):
     """DAEM-annealed embedded training (Training.pl:421-431,
     configure.ac:701-703 defaults DAEMNITER=10, DAEMALPHA=1.0): outer
     iteration i runs n_inner Baum-Welch sweeps at temperature
     k = (i / n_outer)**alpha, deterministically annealing the posterior
-    entropy from high to exact (k=1) — HERest's `-k` flag."""
+    entropy from high to exact (k=1) — HERest's `-k` flag.
+
+    batched=True runs each sweep on the device-side corpus E-step
+    (models/hsmm_batch), optionally psumming over `mesh`."""
     for i in range(1, n_outer + 1):
         k = (i / n_outer) ** alpha
         log(f"DAEM outer {i}/{n_outer}: temperature k={k:.4f}")
-        embedded_reestimate(modelset, utterances, n_iters=n_inner,
-                            var_floor_scale=var_floor_scale,
-                            max_dur=max_dur, log=log,
-                            mode="baum_welch", temper=k)
+        if batched:
+            from hts_train_world_tpu.models import hsmm_batch
+            hsmm_batch.reestimate_modelset_batched(
+                modelset, utterances, n_iters=n_inner,
+                var_floor_scale=var_floor_scale, max_dur=max_dur,
+                temper=k, mesh=mesh, log=log)
+        else:
+            embedded_reestimate(modelset, utterances, n_iters=n_inner,
+                                var_floor_scale=var_floor_scale,
+                                max_dur=max_dur, log=log,
+                                mode="baum_welch", temper=k)
     return modelset
 
 

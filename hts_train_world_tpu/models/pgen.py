@@ -313,15 +313,28 @@ def generate_parameters(model: cc.ClusteredModel, label_seq: Sequence[str],
 
 
 def generate_waveform(statics: Dict[str, np.ndarray], vuv, fs: int,
-                      fft_size: int = 0, frame_period: float = 5.0):
-    """WGEN for one utterance: decode the compressed features and run the
-    WORLD synthesizer (gen_wave's WORLD branch — the path the reference
-    omits, runtime/pipeline.py closes the same gap for the DNN path)."""
+                      fft_size: int = 0, frame_period: float = 5.0,
+                      engine: str = "world", alpha: float = 0.42):
+    """WGEN for one utterance.  engine="world": decode the compressed
+    features and run the WORLD synthesizer (gen_wave's WORLD branch —
+    the path the reference omits, runtime/pipeline.py closes the same
+    gap for the DNN path).  engine="sptk": the excite|mglsadf mixed-
+    excitation branch (Training.pl:2873-2899, ops/excitation.py) — the
+    reference's actual non-STRAIGHT/WORLD synthesis."""
     from hts_train_world_tpu import cli as cli_mod
     from hts_train_world_tpu import config as wcfg
     from hts_train_world_tpu import vocoder
     N = fft_size or wcfg.cheaptrick_fft_size(fs)
     lf0 = statics["lf0"]
+    if engine == "sptk":
+        from hts_train_world_tpu.features import filters
+        from hts_train_world_tpu.ops import excitation as ex_mod
+        low, high = filters.band_split_filters(fs)
+        shift = int(fs * frame_period / 1000.0)
+        lf0_m = np.where(vuv & (lf0[:, 0] != MAGIC), lf0[:, 0], MAGIC)
+        return np.asarray(ex_mod.synthesize_sptk(
+            lf0_m, statics["mgc"].astype(np.float64), fs, shift, alpha,
+            low, high, fft_size=N))
     lf0_1 = np.where((lf0[:, 0] == MAGIC) | ~vuv, 0.0, lf0[:, 0])
     f0, sp, ap = cli_mod.decode_features(
         jnp.asarray(lf0_1), jnp.asarray(statics["mgc"].astype(np.float64)),

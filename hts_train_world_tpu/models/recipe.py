@@ -34,6 +34,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from hts_train_world_tpu.models import context_clustered, gv_model, hsmm
+from hts_train_world_tpu.models import hsmm_batch as hb
 from hts_train_world_tpu.models import hsmm_variants as hv
 from hts_train_world_tpu.models import pgen as pgen_mod
 
@@ -89,13 +90,16 @@ class RecipeState:
 
 def train_voice(corpus, questions, cfg: RecipeConfig = RecipeConfig(),
                 streams: Sequence[hsmm.StreamDef] | None = None,
-                bootstrap_spans=None, log=print) -> RecipeState:
+                bootstrap_spans=None, log=print, mesh=None) -> RecipeState:
     """Run the full recipe.
 
     corpus: list of (frames (T, D), full_context_label_seq).
     questions: clustering questions (features/qconf or models/clustering
     format).  bootstrap_spans: optional {utt_index: phone end frames}
     for HInit-style supervised bootstrapping; uniform cuts otherwise.
+    mesh: optional jax Mesh with a "data" axis — the soft-count E-steps
+    then shard the corpus batch and psum their accumulators (multi-chip
+    HERest).
     """
     streams = tuple(streams or hsmm.world_streams())
     state = RecipeState()
@@ -131,13 +135,20 @@ def train_voice(corpus, questions, cfg: RecipeConfig = RecipeConfig(),
         hsmm.daem_reestimate(ms, utts_mono, n_outer=cfg.daem_n_iter,
                              n_inner=cfg.n_iters, alpha=cfg.daem_alpha,
                              var_floor_scale=cfg.var_floor_scale,
-                             max_dur=cfg.max_dur, log=say)
+                             max_dur=cfg.max_dur, log=say,
+                             batched=cfg.soft_counts, mesh=mesh)
+    elif cfg.soft_counts:
+        say("ERST0: embedded re-estimation (batched Baum-Welch)")
+        hb.reestimate_modelset_batched(
+            ms, utts_mono, n_iters=cfg.n_iters,
+            var_floor_scale=cfg.var_floor_scale, max_dur=cfg.max_dur,
+            mesh=mesh, log=say)
     else:
-        mode = "baum_welch" if cfg.soft_counts else "viterbi"
-        say(f"ERST0: embedded re-estimation ({mode})")
+        say("ERST0: embedded re-estimation (viterbi)")
         hsmm.embedded_reestimate(ms, utts_mono, n_iters=cfg.n_iters,
                                  var_floor_scale=cfg.var_floor_scale,
-                                 max_dur=cfg.max_dur, log=say, mode=mode)
+                                 max_dur=cfg.max_dur, log=say,
+                                 mode="viterbi")
     state.monophone = ms
 
     # ---- SEMIT ------------------------------------------------------
@@ -166,39 +177,71 @@ def train_voice(corpus, questions, cfg: RecipeConfig = RecipeConfig(),
                                    max_dur=cfg.max_dur, log=say)
         state.mixture = mms
 
-    # ---- CXCL: full-context clustering ------------------------------
+    # ---- MN2FL/ERST1/CXCL: full-context clustering -------------------
     say("CXCL: full-context statistics + MDL tree clustering")
     utts_full = [(f, seq) for f, seq in corpus]
-    stream_stats, msd_stats, dur_stats = \
-        context_clustered.collect_context_stats(ms, utts_full,
-                                                cfg.max_dur)
+    if cfg.soft_counts:
+        # reference-true flow (Training.pl:449-494): clone untied
+        # full-context models, HERest them, cluster from THEIR counts
+        contexts = sorted({c for _, seq in corpus for c in seq})
+        full_ms = context_clustered.clone_full_context(ms, contexts)
+        stream_stats, msd_stats, dur_stats = \
+            context_clustered.collect_context_stats_soft(
+                full_ms, utts_full, cfg.max_dur, n_reest=1,
+                var_floor_scale=cfg.var_floor_scale, mesh=mesh, log=say)
+    else:
+        stream_stats, msd_stats, dur_stats = \
+            context_clustered.collect_context_stats(ms, utts_full,
+                                                    cfg.max_dur)
     state.clustered = context_clustered.build_clustered_model(
         ms, stream_stats, msd_stats, dur_stats, questions,
         mdl_factor=cfg.mdl_factor, min_occupancy=cfg.min_occupancy)
 
     # ---- ERST2: embedded re-estimation of the tied model -------------
     if cfg.tied_iters > 0:
-        say("ERST2: tied-model embedded re-estimation")
-        context_clustered.reestimate_clustered(
-            state.clustered, utts_full, n_iters=cfg.tied_iters,
-            max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
-            log=say)
+        if cfg.soft_counts:
+            say("ERST2: tied-model re-estimation (batched Baum-Welch)")
+            hb.reestimate_clustered_batched(
+                state.clustered, utts_full, n_iters=cfg.tied_iters,
+                max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
+                mesh=mesh, log=say)
+        else:
+            say("ERST2: tied-model embedded re-estimation (viterbi)")
+            context_clustered.reestimate_clustered(
+                state.clustered, utts_full, n_iters=cfg.tied_iters,
+                max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
+                log=say)
 
     # ---- UNTIE -> CXCL2 -> ERST4 --------------------------------------
     if cfg.recluster:
-        say("UNTIE/CXCL2: untied statistics from tied alignments "
+        say("UNTIE/CXCL2: untied statistics from the tied model "
             "+ second clustering round")
-        ss2, ms2_, ds2 = context_clustered.collect_context_stats_tied(
-            state.clustered, utts_full, cfg.max_dur)
+        if cfg.soft_counts:
+            contexts = sorted({c for _, seq in corpus for c in seq})
+            untied = context_clustered.clone_from_clustered(
+                state.clustered, contexts)
+            ss2, ms2_, ds2 = context_clustered.collect_context_stats_soft(
+                untied, utts_full, cfg.max_dur, n_reest=1,
+                var_floor_scale=cfg.var_floor_scale, mesh=mesh, log=say)
+        else:
+            ss2, ms2_, ds2 = context_clustered.collect_context_stats_tied(
+                state.clustered, utts_full, cfg.max_dur)
         state.clustered = context_clustered.build_clustered_model(
             ms, ss2, ms2_, ds2, questions,
             mdl_factor=cfg.mdl_factor, min_occupancy=cfg.min_occupancy)
         if cfg.tied_iters > 0:
             say("ERST4: re-estimation of the reclustered model")
-            context_clustered.reestimate_clustered(
-                state.clustered, utts_full, n_iters=cfg.tied_iters,
-                max_dur=cfg.max_dur, var_floor_scale=cfg.var_floor_scale,
-                log=say)
+            if cfg.soft_counts:
+                hb.reestimate_clustered_batched(
+                    state.clustered, utts_full, n_iters=cfg.tied_iters,
+                    max_dur=cfg.max_dur,
+                    var_floor_scale=cfg.var_floor_scale, mesh=mesh,
+                    log=say)
+            else:
+                context_clustered.reestimate_clustered(
+                    state.clustered, utts_full, n_iters=cfg.tied_iters,
+                    max_dur=cfg.max_dur,
+                    var_floor_scale=cfg.var_floor_scale, log=say)
 
     # ---- FALGN: forced alignment under the CLUSTERED model -----------
     # (the reference aligns with the re-estimated tied mmf, not the

@@ -109,16 +109,19 @@ def _raw_candidates(y, fs8: float, fft_size: int, y_length: int, T: int,
         filt = jnp.roll(filt, -(h + 1))[:y_length]  # index_bias = h+1
         interped = []
         enough = h > -1  # varying-typed True
+        t_limit = jnp.asarray(jnp.finfo(dtype).max, dtype)
         d = filt[1:] - filt[:-1]
         for sig, ln in ((filt, y_length), (-filt, y_length),
                         (d, y_length - 1), (-d, y_length - 1)):
-            locs, vals, n = dio_mod.zero_crossings(sig, ln, fs8, cap)
+            locs, vals, n, tl = dio_mod.zero_crossings(sig, ln, fs8, cap)
             enough = enough & (n > 2)
+            t_limit = jnp.minimum(t_limit, tl)
             interped.append(prims.interp1(locs, vals, temporal, n_valid=n))
         f = jnp.stack(interped)
         cand = jnp.mean(f, axis=0)
         bad = ((cand > boundary * 1.1) | (cand < boundary * 0.9)
-               | (cand > f0_ceil) | (cand < f0_floor))
+               | (cand > f0_ceil) | (cand < f0_floor)
+               | (temporal > t_limit))
         return jnp.where(bad | ~enough, 0.0, cand)
 
     hs_np = [int(fs8 / b * 2.0 + 0.5) for b in boundaries]

@@ -32,8 +32,16 @@ class WorldAnalysis:
 
 def estimate_f0(x, fs: int, frame_period: float = 5.0,
                 f0_floor: float = cfg.K_FLOOR_F0,
-                f0_ceil: float = cfg.K_CEIL_F0, refine: bool = True):
-    """DIO + StoneMask (F0Estimation, analysis.cpp:93-143)."""
+                f0_ceil: float = cfg.K_CEIL_F0, refine: bool = True,
+                algorithm: str = "dio"):
+    """DIO + StoneMask (F0Estimation, analysis.cpp:93-143), or Harvest
+    (harvest.cpp:1223-1255; its instantaneous-frequency refinement is
+    built in, so StoneMask is not applied)."""
+    if algorithm == "harvest":
+        from hts_train_world_tpu.ops import harvest as hv_mod
+        return hv_mod.harvest(x, fs, frame_period, f0_floor, f0_ceil)
+    if algorithm != "dio":
+        raise ValueError(f"unknown f0 algorithm {algorithm!r}")
     t, f0, _, _ = dio_mod.dio(x, fs, frame_period, f0_floor, f0_ceil)
     if refine:
         f0 = sm.stonemask(x, fs, t, f0, f0_floor, f0_ceil)
@@ -42,10 +50,12 @@ def estimate_f0(x, fs: int, frame_period: float = 5.0,
 
 def analyze(x, fs: int, frame_period: float = 5.0, q1: float = -0.15,
             d4c_threshold: float = 0.0, parity: bool = True,
-            fft_size: int = 0) -> WorldAnalysis:
+            fft_size: int = 0, algorithm: str = "dio") -> WorldAnalysis:
     x = jnp.asarray(x)
     N = fft_size or cfg.cheaptrick_fft_size(fs)
-    t, f0 = estimate_f0(x, fs, frame_period)
+    t, f0 = estimate_f0(x, fs, frame_period, algorithm=algorithm)
+    f0 = jnp.asarray(f0)
+    t = jnp.asarray(t, x.dtype)
     T = int(f0.shape[0])
     if parity:
         ct_stream = jnp.asarray(
