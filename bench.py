@@ -76,40 +76,58 @@ def cpp_baseline_audio_s_per_s() -> float:
 
 def main() -> None:
     import jax
+    # Persistent compile cache: the relay compiles remotely and slowly
+    # (60-240 s for big graphs, varies by day); cached executables load
+    # in seconds on repeat runs.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
+    import jax.random as jr
     from hts_train_world_tpu import config as cfg
     from hts_train_world_tpu.parallel import batch as batch_mod
+    from hts_train_world_tpu.ops import synthesis as syn
 
     L = int(FS * DUR)
     N = cfg.cheaptrick_fft_size(FS)
     T = cfg.samples_for_dio(FS, L, 5.0)
     yl = int((T - 1) * 5.0 / 1000.0 * FS) + 1
+    SL = syn.synthesis_stream_len(yl)
 
-    rng = np.random.default_rng(1)
+    def corpus(seed):
+        """Same harmonic corpus as _corpus, built ON DEVICE from a scalar
+        seed: the relay's host->device bandwidth varies 7-100 MB/s day to
+        day, so the timed loop must not upload ~6 MB of waveforms."""
+        key = jr.fold_in(jr.PRNGKey(0), seed)
+        t = (jnp.arange(L, dtype=jnp.float32) / FS)[None, :]
+        f0 = (160.0 + 15.0 * (jnp.arange(BATCH) % 6))[:, None]
+        amps = [0.5, 0.3, 0.2, 0.1]
+        x = jnp.zeros((BATCH, L), jnp.float32)
+        for h in range(4):
+            x = x + amps[h] * jnp.sin(2 * jnp.pi * f0 * (h + 1) * t + 0.1 * h)
+        x = x * (1.0 + 0.02 * jnp.sin(2 * jnp.pi * 5.0 * t))
+        k1, k2 = jr.split(key)
+        x = x + 0.011 * jr.normal(k1, (BATCH, L), jnp.float32)
+        x = 0.7 * x / jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        noise = jr.normal(k2, (BATCH, SL), jnp.float32)
+        return x, noise
 
     @jax.jit
-    def run(xs, noise):
-        return jax.vmap(lambda x, nz: batch_mod._copy_synth_one(
+    def run(seed):
+        xs, noise = corpus(seed)
+        y = jax.vmap(lambda x, nz: batch_mod._copy_synth_one(
             x, FS, 5.0, N, 0.0, yl, nz))(xs, noise)[3]
+        return jnp.sum(y * y, axis=1)  # (B,) fetch forces every lane
 
-    def batch(seed):
-        r = np.random.default_rng(seed)
-        xs = _corpus(BATCH, L) + 0.001 * r.standard_normal((BATCH, L))
-        return (jnp.asarray(xs, jnp.float32),
-                jnp.asarray(r.standard_normal((BATCH, yl + 16)),
-                            jnp.float32))
-
-    xs0, nz0 = batch(0)
-    np.asarray(run(xs0, nz0))  # compile + warm
+    np.asarray(run(0))  # compile + warm
     # NOTE: the axon relay executes asynchronously and block_until_ready
     # returns before remote completion — every timed iteration must fetch
-    # a result slice to measure real wall time, and inputs vary so no
-    # caching layer can short-circuit the execution.
-    batches = [batch(s) for s in range(1, ITERS + 1)]
+    # a (tiny) result to measure real wall time, and the seed varies so
+    # no caching layer can short-circuit the execution.
     t0 = time.perf_counter()
-    for xs, nz in batches:
-        y = run(xs, nz)
-        np.asarray(y[0, :8])
+    for s in range(1, ITERS + 1):
+        np.asarray(run(s))
     dt = (time.perf_counter() - t0) / ITERS
     audio_s = BATCH * DUR
     value = audio_s / dt

@@ -84,7 +84,7 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
     q = jnp.arange(half + 1, dtype=dtype) / fs
     # float32 fast path: the per-frame rffts and the smoothing-recovery
     # chain run as MXU matmuls (ops/fftmat.py); f64 keeps jnp.fft parity
-    use_matmul = dtype == jnp.float32 and N <= 2048
+    use_matmul = dtype == jnp.float32 and N <= 4096
 
     # fast mode: window gather as one contiguous dynamic_slice from an
     # edge-padded x (padding replicates x[0]/x[-1] = clip semantics)

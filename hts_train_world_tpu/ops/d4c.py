@@ -23,6 +23,11 @@ import jax.numpy as jnp
 from hts_train_world_tpu import config as cfg
 from hts_train_world_tpu.ops import fftmat, prims
 
+# f32 fast mode runs per-frame DFTs as MXU matmuls up to this size; above
+# it falls back to XLA's FFT.  4096 covers the 48 kHz D4C/LoveTrain sizes
+# (d4c.cpp:344-346) where XLA's TPU FFT is ~4x off matmul pace.
+MATMUL_FFT_LIMIT = 4096
+
 
 def d4c_stream_len(f0_length: int, fs: int) -> int:
     w_lt = 2 * int(1.5 * fs / 40.0 + 0.5) + 1
@@ -73,7 +78,7 @@ def _love_train(x, fs: int, f0, temporal_positions, noise_lt,
     b1 = int(-(-4000.0 * n // fs))
     b2 = int(-(-7900.0 * n // fs))
 
-    use_matmul = dtype == jnp.float32 and n <= 2048
+    use_matmul = dtype == jnp.float32 and n <= MATMUL_FFT_LIMIT
 
     def frame(f0i, pos, noise):
         lf0 = jnp.maximum(f0i, 40.0)
@@ -103,7 +108,7 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
     for i in range(n_ap):
         center = int(cfg.K_FREQUENCY_INTERVAL * (i + 1) * fft_d / fs)
         seg = jax.lax.dynamic_slice(sgd, (center - hw,), (window_length,))
-        if sgd.dtype == jnp.float32 and fft_d <= 2048:
+        if sgd.dtype == jnp.float32 and fft_d <= MATMUL_FFT_LIMIT:
             p = fftmat.rfft_power_matmul(seg * window, fft_d)
         else:
             spec = jnp.fft.rfft(seg * window, fft_d)
@@ -194,7 +199,7 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         noise_c1, noise_c2, noise_sp = (slice_block(k) for k in range(3))
 
     # ---- main body ----
-    use_matmul_d = dtype == jnp.float32 and fft_d <= 2048
+    use_matmul_d = dtype == jnp.float32 and fft_d <= MATMUL_FFT_LIMIT
 
     def centroid(f0i, pos, noise):
         """GetCentroid (d4c.cpp:90-119)."""

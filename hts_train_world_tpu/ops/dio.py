@@ -17,6 +17,7 @@ Python-static at trace time.
 """
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 
@@ -192,6 +193,39 @@ def fix_f0_contour(best_f0, f0_candidates, frame_period: float,
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _band_filter_specs_np(fft_size: int, cutoff: int,
+                          boundaries: tuple, actual_fs: float):
+    """Static per-band filter spectra for the f32 fast path.
+
+    The low-cut FIR (dio.cpp:40-53) and each band's Nuttall low-pass
+    (dio.cpp:325-333) depend only on plan constants, so their rffts are
+    numpy-precomputed (f64) and folded together — this removes 13 of the
+    25 length-fft_size transforms the f64 path performs per utterance.
+    Returns (bands, fft/2+1) complex128.
+    """
+    i = np.arange(1, cutoff * 2 + 2)
+    lcf = np.zeros(fft_size)
+    n = cutoff * 2 + 1
+    lcf[:n] = 0.5 - 0.5 * np.cos(i * 2.0 * np.pi / (n + 1))
+    lcf[:n] = -lcf[:n] / lcf[:n].sum()
+    lcf = np.roll(lcf, -((n - 1) // 2))
+    lcf[0] += 1.0
+    lcf_spec = np.fft.rfft(lcf)
+    specs = []
+    for boundary in boundaries:
+        half_avg = int(actual_fs / boundary / 2.0 + 0.5)
+        m = half_avg * 4
+        t = np.arange(m) / (m - 1.0)
+        w = (0.355768 - 0.487396 * np.cos(2 * np.pi * t)
+             + 0.144232 * np.cos(4 * np.pi * t)
+             - 0.012604 * np.cos(6 * np.pi * t))
+        lpf = np.zeros(fft_size)
+        lpf[:m] = w
+        specs.append(np.fft.rfft(lpf) * lcf_spec)
+    return np.stack(specs)
+
+
 def dio_plan(x_length: int, fs: int, frame_period: float = 5.0,
              f0_floor: float = cfg.K_FLOOR_F0, f0_ceil: float = cfg.K_CEIL_F0,
              channels_in_octave: float = 2.0, speed: int = 1):
@@ -244,8 +278,20 @@ def dio(x, fs: int, frame_period: float = 5.0,
     y = y.at[:y_length].add(-mean_y)
     y_spec = jnp.fft.rfft(y)
     cutoff = int(actual_fs / 50.0 + 0.5)  # matlab_round, positive arg
-    lcf = prims.design_low_cut_filter(cutoff * 2 + 1, fft_size, dtype)
-    y_spec = y_spec * jnp.fft.rfft(lcf)
+    if dtype == jnp.float32:
+        # fast path: filter spectra are compile-time constants and all 12
+        # band filterings run as ONE batched irfft (see
+        # _band_filter_specs_np); f64 keeps the reference's op-for-op
+        # transform sequence for bit-level parity headroom
+        specs = jnp.asarray(_band_filter_specs_np(
+            fft_size, cutoff, tuple(plan["boundary_f0"]), actual_fs),
+            jnp.complex64)
+        filt_bands = jnp.fft.irfft(y_spec[None, :] * specs, fft_size,
+                                   axis=-1) * fft_size
+    else:
+        lcf = prims.design_low_cut_filter(cutoff * 2 + 1, fft_size, dtype)
+        y_spec = y_spec * jnp.fft.rfft(lcf)
+        filt_bands = None
 
     temporal_positions = jnp.arange(T, dtype=dtype) * (frame_period / 1000.0)
 
@@ -253,11 +299,15 @@ def dio(x, fs: int, frame_period: float = 5.0,
     cap = y_length // 2 + 2
     duration = y_length / actual_fs
     cands, scores = [], []
-    for boundary in plan["boundary_f0"]:
+    for bi, boundary in enumerate(plan["boundary_f0"]):
         half_avg = int(actual_fs / boundary / 2.0 + 0.5)  # matlab_round
-        lpf = jnp.zeros(fft_size, dtype).at[:half_avg * 4].set(
-            prims.nuttall_window(half_avg * 4, dtype))
-        filt = jnp.fft.irfft(y_spec * jnp.fft.rfft(lpf), fft_size) * fft_size
+        if filt_bands is not None:
+            filt = filt_bands[bi]
+        else:
+            lpf = jnp.zeros(fft_size, dtype).at[:half_avg * 4].set(
+                prims.nuttall_window(half_avg * 4, dtype))
+            filt = jnp.fft.irfft(y_spec * jnp.fft.rfft(lpf),
+                                 fft_size) * fft_size
         # delay compensation (dio.cpp:335-337)
         filt = jax.lax.dynamic_slice(filt, (2 * half_avg,), (y_length,))
         if dtype == jnp.float32:

@@ -90,9 +90,11 @@ def msmp2seq(ms, mp, T: int):
     w = jnp.fft.irfft(X, MSPF_FFTLEN, axis=-1)
     n_frames = ms.shape[0]
     out_len = shift * (n_frames - 1) + MSPF_FFTLEN
-    seq = jnp.zeros(out_len, w.real.dtype)
-    for k in range(n_frames):  # static unroll; n_frames = ceil(T/shift)
-        seq = seq.at[k * shift:k * shift + MSPF_FFTLEN].add(w[k])
+    # OLA as one flat scatter-add (frame k lands at k*shift)
+    idx = (np.arange(n_frames)[:, None] * shift
+           + np.arange(MSPF_FFTLEN)[None, :]).reshape(-1)
+    seq = jnp.zeros(out_len, w.real.dtype).at[jnp.asarray(idx)].add(
+        w.reshape(-1))
     return seq[shift:T + shift]
 
 
@@ -105,32 +107,39 @@ class MspfStats:
 
 def mspf_stats(trajs) -> MspfStats:
     """make_mspf statistics over a corpus: trajs = list of (T, D)
-    mean-subtracted parameter sequences."""
-    D = trajs[0].shape[1]
-    per_dim = [[] for _ in range(D)]
+    mean-subtracted parameter sequences.  All D dimensions are framed
+    and transformed in one vmapped batch per utterance."""
+    sums = None
     for t in trajs:
         tc = jnp.asarray(t) - jnp.mean(jnp.asarray(t), axis=0)
-        for d in range(D):
-            ms, _ = seq2msmp(tc[:, d])
-            per_dim[d].append(np.asarray(ms))
-    mean = np.stack([np.concatenate(p).mean(0) for p in per_dim])
-    std = np.stack([np.concatenate(p).std(0) for p in per_dim])
-    return MspfStats(mean, std)
+        ms, _ = jax.vmap(seq2msmp, in_axes=1)(tc)   # (D, F, half+1)
+        ms = np.asarray(ms)
+        s1, s2 = ms.sum(1), (ms * ms).sum(1)
+        n = ms.shape[1]
+        if sums is None:
+            sums = [s1, s2, n]
+        else:
+            sums[0] += s1
+            sums[1] += s2
+            sums[2] += n
+    mean = sums[0] / sums[2]
+    var = sums[1] / sums[2] - mean * mean
+    return MspfStats(mean, np.sqrt(np.maximum(var, 0.0)))
 
 
 def apply_mspf(traj, nat: MspfStats, gen: MspfStats, weight: float = 1.0):
-    """postfiltering_mspf (Training.pl:2950-3000). traj: (T, D)."""
+    """postfiltering_mspf (Training.pl:2950-3000). traj: (T, D);
+    every dimension converted in one vmapped batch."""
     traj = jnp.asarray(traj)
     T, D = traj.shape
     mean = jnp.mean(traj, axis=0)
     sub = traj - mean
-    outs = []
-    for d in range(D):
-        ms, mp = seq2msmp(sub[:, d])
-        conv = ((ms - gen.mean[d]) / gen.std[d]) * nat.std[d] + nat.mean[d]
-        ms2 = ms + weight * (conv - ms)
-        outs.append(msmp2seq(ms2, mp, T))
-    return jnp.stack(outs, axis=1) + mean
+    ms, mp = jax.vmap(seq2msmp, in_axes=1)(sub)     # (D, F, half+1)
+    conv = ((ms - gen.mean[:, None]) / gen.std[:, None]) * nat.std[:, None] \
+        + nat.mean[:, None]
+    ms2 = ms + weight * (conv - ms)
+    out = jax.vmap(msmp2seq, in_axes=(0, 0, None))(ms2, mp, T)  # (D, T)
+    return out.T + mean
 
 
 # ---------------------------------------------------------------------------

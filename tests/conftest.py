@@ -49,6 +49,20 @@ def _ensure_golden():
 _HAVE_GOLDEN = _ensure_golden()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled executables between test modules.
+
+    The suite compiles hundreds of distinct CPU graphs; keeping every
+    executable's JIT'd code alive eventually aborts XLA:CPU's compiler
+    partway through the full run (SIGABRT in backend_compile with tens
+    of GB still free — a code-arena limit, not host OOM).  Per-module
+    cache clearing keeps the high-water mark low; goldens and fixtures
+    are unaffected."""
+    yield
+    jax.clear_caches()
+
+
 class Golden:
     """Lazy loader for one golden utterance directory."""
 
