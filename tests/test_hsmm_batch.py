@@ -234,3 +234,23 @@ def test_recipe_soft_counts_end_to_end():
     for ui, (frames, _) in enumerate(utts):
         assert st.alignments[ui][-1] == len(frames)
     assert any("batched" in m for m in st.log_history)
+
+
+def test_em_corpus_scale_128_utts():
+    """Corpus-scale EM (VERDICT weak #8): one hundred+ utterances through
+    the batched E-step in buckets; loglik must be finite and improve."""
+    rng = np.random.default_rng(11)
+    utts = []
+    for i in range(128):
+        seq = [th.names_all[j] for j in rng.integers(0, 3, 5)]
+        frames, _ = th._sample_utterance(rng, th.model_means, seq, 3)
+        utts.append((frames, seq))
+    ms = _boot_modelset(utts)
+    hist = hsmm_batch.reestimate_modelset_batched(
+        ms, utts, n_iters=2, max_dur=30, log=lambda m: None)
+    assert np.isfinite(hist).all()
+    assert hist[1] > hist[0]
+    assert np.isfinite(ms.dur_mean).all()
+    for st in ms.streams:
+        assert np.isfinite(ms.means[st.name]).all()
+        assert (ms.variances[st.name] > 0).all()
