@@ -47,6 +47,40 @@ def exact_div(x, divisor: float):
     return x / den
 
 
+@functools.lru_cache(maxsize=None)
+def _tri_ones(c: int):
+    import numpy as _np
+    return _np.triu(_np.ones((c, c), _np.float32))
+
+
+def cumsum_mxu(x, chunk: int = 128):
+    """Inclusive prefix sum along the minor axis via chunked triangular
+    matmuls — the TPU-fast cumsum for long rows.
+
+    XLA lowers jnp.cumsum on TPU as a reduce-window: O(n*window) VPU work
+    that dominates D4C's smoothing chain and synthesis' phase
+    accumulation at n of a few thousand+.  Chunking into (chunk)-wide
+    blocks puts the O(n*chunk) inner prefix on the MXU (x_r @ triu ones)
+    and leaves only an n/chunk-long carry cumsum.  precision=HIGHEST
+    keeps f32-faithful accumulation (products are by 1.0, exact); the sum
+    reassociates, so this is for fast paths only, never f64 parity."""
+    P = x.shape[-1]
+    if P <= 2 * chunk:
+        return jnp.cumsum(x, axis=-1)
+    n = -(-P // chunk)
+    pad = n * chunk - P
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xr = xp.reshape(x.shape[:-1] + (n, chunk))
+    tri = jnp.asarray(_tri_ones(chunk), x.dtype)
+    within = jax.lax.dot_general(
+        xr, tri, (((xr.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    sums = xr.sum(axis=-1)
+    carry = jnp.cumsum(sums, axis=-1) - sums
+    out = within + carry[..., None]
+    return out.reshape(x.shape[:-1] + (n * chunk,))[..., :P]
+
+
 def compact_indices(mask, cap: int, fill_value: int):
     """Positions of True entries in ascending order, padded to `cap` with
     fill_value — semantically jnp.nonzero(mask, size=cap, fill_value=...).
@@ -274,9 +308,12 @@ def linear_smoothing(ps, width, fs: int, fft_size: int, b_max: int):
     half = fft_size // 2
     if dtype == jnp.float32:
         P = half + 2 * b_max + 1
-        m = jnp.arange(-b_max, half + b_max + 1)
-        o = half - jnp.abs(half - jnp.abs(m))          # static reflect
-        mirror = ps[..., o]
+        # static reflect o = half - |half - |m||, m in [-b_max, half+b_max],
+        # spelled as flips + concat: index-array gathers serialize on TPU
+        # while slices/reverses are free in the fusion
+        mirror = jnp.concatenate([
+            jnp.flip(ps[..., 1:b_max + 1], axis=-1), ps,
+            jnp.flip(ps[..., half - b_max:half], axis=-1)], axis=-1)
         seg = jnp.cumsum(mirror * (fs / fft_size), axis=-1)
         wb = width * fft_size / fs / 2.0               # width in bins / 2
         s_lo = b_max - 0.5 - wb
