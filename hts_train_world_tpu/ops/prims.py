@@ -20,6 +20,8 @@ in shapes.  All math follows the input dtype (float64 in parity mode).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
