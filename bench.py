@@ -180,21 +180,65 @@ def main() -> None:
         print(f"feature_pipeline bench failed: {e!r}", file=sys.stderr)
 
     try:
-        from hts_train_world_tpu import vocoder
-        xh = jnp.asarray(_corpus(2, L), jnp.float32)
-        for i in range(2):  # compile + warm
-            a = vocoder.analyze(xh[i], FS, 5.0, parity=False,
-                                algorithm="harvest")
-            np.asarray(a.f0[:4])
+        # full batched analysis with the device Harvest F0 stack
+        HB = 4
+
+        @jax.jit
+        def harvest_run(seed):
+            xs, _ = corpus(seed)
+            _, f0, sp, _ = batch_mod.batch_analyze(
+                xs[:HB], FS, algorithm="harvest")
+            return jnp.sum(f0, axis=1) + jnp.sum(sp[:, ::64, ::64],
+                                                 axis=(1, 2))
+
+        np.asarray(harvest_run(0))
         t0 = time.perf_counter()
-        for i in range(2):
-            a = vocoder.analyze(xh[i], FS, 5.0, parity=False,
-                                algorithm="harvest")
-            np.asarray(a.f0[:4])
-        dt = (time.perf_counter() - t0) / 2
-        emit("harvest_analysis_throughput", DUR / dt, "audio_seconds/s/chip")
+        for s in range(1, ITERS + 1):
+            np.asarray(harvest_run(s))
+        dt = (time.perf_counter() - t0) / ITERS
+        emit("harvest_analysis_throughput", HB * DUR / dt,
+             "audio_seconds/s/chip")
     except Exception as e:  # pragma: no cover
         print(f"harvest bench failed: {e!r}", file=sys.stderr)
+
+    try:
+        # BASELINE config 4 at 1 chip: a 500-utterance mixed-length corpus
+        # through the full host+device path (C++ prefetch loader ->
+        # length bucketing -> batched analysis)
+        import tempfile
+        from scipy.io import wavfile
+        from hts_train_world_tpu.io import loader
+        from hts_train_world_tpu.parallel import bucketing
+        cfs = 16000
+        rng = np.random.default_rng(7)
+        d = tempfile.mkdtemp(prefix="bench_corpus500_")
+        paths, audio_s = [], 0.0
+        for i in range(500):
+            n = int(cfs * (1.0 + 1.5 * rng.random()))
+            tt = np.arange(n) / cfs
+            f0 = 140.0 + 120.0 * rng.random()
+            xw = sum(a * np.sin(2 * np.pi * f0 * (h + 1) * tt)
+                     for h, a in enumerate([0.5, 0.3, 0.15]))
+            xw = 0.7 * xw / np.abs(xw).max() \
+                + 0.005 * rng.standard_normal(n)
+            p = os.path.join(d, f"u{i:03d}.wav")
+            wavfile.write(p, cfs, np.round(xw * 30000).astype(np.int16))
+            paths.append(p)
+            audio_s += n / cfs
+
+        def corpus_run():
+            sigs = loader.load_corpus(paths, loader.WAV, n_threads=8)
+            res = bucketing.bucketed_analyze(sigs, cfs, max_batch=16)
+            return float(sum(np.sum(r[1][:4]) for r in res))
+
+        corpus_run()  # compile all bucket shapes
+        t0 = time.perf_counter()
+        corpus_run()
+        dt = time.perf_counter() - t0
+        emit("corpus500_analysis_throughput", audio_s / dt,
+             "audio_seconds/s/chip")
+    except Exception as e:  # pragma: no cover
+        print(f"corpus bench failed: {e!r}", file=sys.stderr)
 
     try:
         from hts_train_world_tpu.models import hsmm, hsmm_batch

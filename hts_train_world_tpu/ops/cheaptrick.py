@@ -84,7 +84,7 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
     q = jnp.arange(half + 1, dtype=dtype) / fs
     # float32 fast path: the per-frame rffts and the smoothing-recovery
     # chain run as MXU matmuls (ops/fftmat.py); f64 keeps jnp.fft parity
-    use_matmul = dtype == jnp.float32 and N <= 4096
+    use_matmul = dtype == jnp.float32 and N <= fftmat.MATMUL_FFT_LIMIT
 
     # fast mode: window gather as one contiguous dynamic_slice from an
     # edge-padded x (padding replicates x[0]/x[-1] = clip semantics)
@@ -139,9 +139,18 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
         ps = prims.dc_correction(ps, f0i, fs, N, ul_max)
         ps = prims.linear_smoothing(ps, f0i * 2.0 / 3.0, fs, N, b_max)
         ps = ps + jnp.abs(ns) * cfg.K_EPS  # AddInfinitesimalNoise
-        # float32 fast path: smoothing cancellation can drive ps <= 0; the
-        # floor is unreachable in the f64 parity path
-        ps = jnp.maximum(ps, prims.tiny_floor(dtype))
+        if dtype == jnp.float32:
+            # fast path: f32 smoothing cancellation makes valleys below
+            # ~1e-7 of the frame peak meaningless (or negative).  Floor
+            # RELATIVE to the peak: an absolute tiny floor puts
+            # log(denormal) ~ -85 spikes into log_ps, and the cepstral
+            # lifter rings them into e^{+-60} envelope blowups on
+            # deep-null signals (caught by tests/test_fast_stress.py).
+            ps = jnp.maximum(ps, jnp.maximum(jnp.max(ps) * 1e-7,
+                                             prims.tiny_floor(dtype)))
+        else:
+            # unreachable guard in the f64 parity path
+            ps = jnp.maximum(ps, prims.tiny_floor(dtype))
 
         # SmoothingWithRecovery (cheaptrick.cpp:22-57)
         qf = jnp.pi * f0i * q

@@ -23,10 +23,7 @@ import jax.numpy as jnp
 from hts_train_world_tpu import config as cfg
 from hts_train_world_tpu.ops import fftmat, prims
 
-# f32 fast mode runs per-frame DFTs as MXU matmuls up to this size; above
-# it falls back to XLA's FFT.  4096 covers the 48 kHz D4C/LoveTrain sizes
-# (d4c.cpp:344-346) where XLA's TPU FFT is ~4x off matmul pace.
-MATMUL_FFT_LIMIT = 4096
+MATMUL_FFT_LIMIT = fftmat.MATMUL_FFT_LIMIT
 
 
 def d4c_stream_len(f0_length: int, fs: int) -> int:
@@ -127,6 +124,8 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
             num = den - jnp.sum(topk)
         out.append(10.0 * jnp.log10(jnp.maximum(num, tiny)
                                     / jnp.maximum(den, tiny)))
+    if not out:  # fs <= 12 kHz: zero coarse bands (d4c.cpp:212-215 floor)
+        return jnp.zeros((0,), sgd.dtype)
     return jnp.stack(out)
 
 

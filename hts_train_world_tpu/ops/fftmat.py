@@ -23,6 +23,13 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+# f32 fast paths run per-frame DFTs as MXU matmuls up to this size; above
+# it they fall back to XLA's FFT.  4096 covers the 48 kHz CheapTrick/D4C/
+# LoveTrain sizes (cheaptrick.cpp:191-194, d4c.cpp:344-346) where XLA's
+# TPU FFT is ~4x off matmul pace.  Shared here so cheaptrick/d4c/harvest
+# can't silently diverge.
+MATMUL_FFT_LIMIT = 4096
+
 
 @functools.lru_cache(maxsize=None)
 def _rfft_mats_np(N: int):

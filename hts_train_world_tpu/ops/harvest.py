@@ -31,6 +31,7 @@ import numpy as np
 
 from hts_train_world_tpu import config as cfg
 from hts_train_world_tpu.ops import dio as dio_mod
+from hts_train_world_tpu.ops import harvest_fix as hf
 from hts_train_world_tpu.ops import prims
 
 TARGET_FS = 8000.0
@@ -56,9 +57,14 @@ def harvest_plan(x_length: int, fs: int, f0_floor: float, f0_ceil: float):
     fft_size = cfg.get_suitable_fft_size(
         y_length + 5 + 2 * int(2.0 * actual_fs / boundaries[0]))
     max_candidates = int(n_ch / 10.0 + 0.5) * OVERLAP_PARAMETER
+    # static candidate-column bound for the device path: a detected run
+    # needs >= 10 voiced channels + 1 gap, so at most (n_ch+1)//11 base
+    # candidates exist; x7 for the overlap spreading
+    nc_pad = min(int(n_ch / 10.0 + 0.5), (n_ch + 1) // 11) \
+        * OVERLAP_PARAMETER
     return dict(n_ch=n_ch, boundaries=boundaries, ratio=ratio,
                 y_length=y_length, actual_fs=actual_fs, fft_size=fft_size,
-                max_candidates=max_candidates)
+                max_candidates=max_candidates, nc_pad=nc_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -76,6 +82,62 @@ def _waveform_sub(x, x_length: int, ratio: int, y_length: int):
                            jnp.full(lag, x[-1], x.dtype)])
     dec = prims.decimate(ext, ratio)
     return jax.lax.dynamic_slice(dec, (lag // ratio,), (y_length,))
+
+
+def band_filter_f32(y, y_length: int, hs: tuple, boundaries: tuple,
+                    fs8: float):
+    """All-channel Nuttall band-pass as ONE MXU convolution (f32 fast
+    path for GetFilteredSignal, harvest.cpp:99-148).  Kernels are
+    right-aligned into a shared (n_ch, 2*h_max+1) bank so every band
+    shares the output alignment
+        filtered[c, j] = sum_i K[c, i] * y[j - h_max + 1 + i],
+    which equals the reference's circular spectrum product + roll since
+    the zero padding prevents wrap-around."""
+    dtype = y.dtype
+    h_max = max(hs)
+    K = 2 * h_max + 1
+    hs_all = jnp.asarray(hs, jnp.int32)
+    bnd_all = jnp.asarray(boundaries, dtype)
+    i = jnp.arange(K)
+    kk = h_max + hs_all[:, None] - i[None, :]
+    valid_k = (kk >= 0) & (kk <= 2 * hs_all[:, None])
+    tt = kk.astype(dtype) / (2.0 * hs_all[:, None]).astype(dtype)
+    wk = (0.355768 - 0.487396 * jnp.cos(2 * jnp.pi * tt)
+          + 0.144232 * jnp.cos(4 * jnp.pi * tt)
+          - 0.012604 * jnp.cos(6 * jnp.pi * tt))
+    wk = wk * jnp.cos(2 * jnp.pi * bnd_all[:, None]
+                      * (kk - hs_all[:, None]).astype(dtype) / fs8)
+    kmat = jnp.where(valid_k, wk, 0.0)              # (n_ch, K)
+    ypad = jnp.concatenate([jnp.zeros(h_max - 1, dtype), y[:y_length],
+                            jnp.zeros(h_max + 1, dtype)])
+    return jax.lax.conv_general_dilated(
+        ypad[None, None, :], kmat[:, None, :], (1,), "VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST)[0]     # (n_ch, y_length)
+
+
+def _zc_candidates(filt, boundary, y_length: int, temporal, fs8: float,
+                   f0_floor: float, f0_ceil: float, cap: int):
+    """GetF0CandidateContour for one filtered band (harvest.cpp:211-254):
+    four zero-crossing interval streams interpolated to the frame grid,
+    averaged, and gated to +-10% of the boundary frequency."""
+    dtype = filt.dtype
+    interped = []
+    enough = boundary > -1.0  # varying-typed True
+    t_limit = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    d = filt[1:] - filt[:-1]
+    for sig, ln in ((filt, y_length), (-filt, y_length),
+                    (d, y_length - 1), (-d, y_length - 1)):
+        locs, vals, n, tl = dio_mod.zero_crossings(sig, ln, fs8, cap)
+        enough = enough & (n > 2)
+        t_limit = jnp.minimum(t_limit, tl)
+        interped.append(prims.interp1(locs, vals, temporal, n_valid=n))
+    f = jnp.stack(interped)
+    cand = jnp.mean(f, axis=0)
+    bad = ((cand > boundary * 1.1) | (cand < boundary * 0.9)
+           | (cand > f0_ceil) | (cand < f0_floor)
+           | (temporal > t_limit))
+    return jnp.where(bad | ~enough, 0.0, cand)
 
 
 @partial(jax.jit, static_argnames=("fs8", "fft_size", "y_length", "T",
@@ -107,30 +169,24 @@ def _raw_candidates(y, fs8: float, fft_size: int, y_length: int, T: int,
         W = jnp.fft.rfft(jnp.zeros(fft_size, dtype).at[:wlen_max].set(w))
         filt = jnp.fft.irfft(Y * W, fft_size) * fft_size
         filt = jnp.roll(filt, -(h + 1))[:y_length]  # index_bias = h+1
-        interped = []
-        enough = h > -1  # varying-typed True
-        t_limit = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        d = filt[1:] - filt[:-1]
-        for sig, ln in ((filt, y_length), (-filt, y_length),
-                        (d, y_length - 1), (-d, y_length - 1)):
-            locs, vals, n, tl = dio_mod.zero_crossings(sig, ln, fs8, cap)
-            enough = enough & (n > 2)
-            t_limit = jnp.minimum(t_limit, tl)
-            interped.append(prims.interp1(locs, vals, temporal, n_valid=n))
-        f = jnp.stack(interped)
-        cand = jnp.mean(f, axis=0)
-        bad = ((cand > boundary * 1.1) | (cand < boundary * 0.9)
-               | (cand > f0_ceil) | (cand < f0_floor)
-               | (temporal > t_limit))
-        return jnp.where(bad | ~enough, 0.0, cand)
+        return _zc_candidates(filt, boundary, y_length, temporal, fs8,
+                              f0_floor, f0_ceil, cap)
 
     hs_np = [int(fs8 / b * 2.0 + 0.5) for b in boundaries]
     if dtype == jnp.float32:
-        # fast path: the cos-modulated Nuttall band-pass at boundary_f0
-        # oscillates at ~boundary_f0, so the zero-crossing count per
-        # stream is ~boundary*duration.  Group channels per octave and
-        # give each vmap group a tight static cap (vmap needs one shape
-        # per group); the f64 parity path keeps the worst-case cap.
+        # fast path, two TPU-first moves:
+        # (1) the per-band Nuttall band-pass runs as ONE MXU convolution
+        #     instead of n_ch 32k-point FFT round trips: kernels are
+        #     right-aligned into a shared (n_ch, 2*h_max+1) bank so every
+        #     band shares the output alignment filtered[j] =
+        #     sum_i K[c,i] * y[j - h_max + 1 + i]  (== the reference's
+        #     circular spectrum product + roll, GetFilteredSignal
+        #     harvest.cpp:99-148, since the zero padding prevents wrap);
+        # (2) the cos-modulated band-pass at boundary_f0 oscillates at
+        #     ~boundary_f0, so zero-crossing counts are ~boundary*dur:
+        #     channels group per octave with tight static caps.
+        filt_all = band_filter_f32(y, y_length, tuple(hs_np),
+                                   tuple(boundaries), fs8)
         dur = y_length / fs8
         groups = {}
         for ci, b in enumerate(boundaries):
@@ -140,10 +196,12 @@ def _raw_candidates(y, fs8: float, fft_size: int, y_length: int, T: int,
         rows = [None] * len(boundaries)
         for gcap, idxs in sorted(groups.items()):
             bnd_g = jnp.asarray([boundaries[i] for i in idxs], dtype)
-            hs_g = jnp.asarray([hs_np[i] for i in idxs], jnp.int32)
-            out = jax.vmap(lambda b, h: channel(b, h, gcap))(bnd_g, hs_g)
-            for r, i in enumerate(idxs):
-                rows[i] = out[r]
+            filt_g = filt_all[jnp.asarray(idxs)]
+            out = jax.vmap(lambda f, b: _zc_candidates(
+                f, b, y_length, temporal, fs8, f0_floor, f0_ceil,
+                gcap))(filt_g, bnd_g)
+            for r, i2 in enumerate(idxs):
+                rows[i2] = out[r]
         return jnp.stack(rows)  # (n_ch, T)
 
     bnd = jnp.asarray(boundaries, dtype)
@@ -238,6 +296,109 @@ def _fft_size_for(f0, fs8):
     h = (1.5 * fs8 / f0 + 1.0).astype(np.int64)
     e = np.floor(np.log(h * 2.0 + 1.0) / cfg.K_LOG2).astype(np.int64)
     return (4 * (2 ** e)).astype(np.int64)
+
+
+def refine_all(y, positions, cands, fs8: float, f0_floor: float,
+               f0_ceil: float, chunk: int = 8192):
+    """GetRefinedF0 (harvest.cpp:589-617) for EVERY (frame, candidate)
+    pair on device — the TPU replacement for the host bucket dispatch.
+
+    The reference picks a per-candidate FFT size B_c = 4*2^floor(log2(w))
+    (w = window length).  Instead of one dispatch per size, every pair is
+    transformed once at the static worst-case size B (the B_c for
+    f0_floor) and harmonic bins are read at stride r = B/B_c: for a
+    signal that is zero beyond the window, DFT_B[m*r] == DFT_{B_c}[m]
+    exactly, so the per-candidate size semantics are preserved to FFT
+    rounding.  Pairs are processed in `chunk`-sized blocks via lax.map to
+    bound memory; zero candidates are masked (cost: they still compute).
+    """
+    dtype = y.dtype
+    L = y.shape[0]
+    h_cap = int(1.5 * fs8 / f0_floor + 1.0)
+    W = 2 * h_cap + 1
+    e_max = int(math.log(W * 1.0) / cfg.K_LOG2)
+    B = 4 * (2 ** e_max)
+    T, NC = cands.shape
+    P = T * NC
+    pad = (-P) % chunk
+    flat_f0 = jnp.concatenate(
+        [cands.reshape(-1), jnp.zeros(pad, dtype)])
+    flat_pos = jnp.concatenate(
+        [jnp.broadcast_to(positions[:, None], (T, NC)).reshape(-1),
+         jnp.zeros(pad, dtype)])
+    fast = dtype == jnp.float32
+    if fast:
+        from hts_train_world_tpu.ops import fftmat
+        padn = h_cap + 8
+        ypad = jnp.concatenate([jnp.full(padn, y[0], dtype), y,
+                                jnp.full(padn + W, y[-1], dtype)])
+        C, S = fftmat.rfft_mats(B, dtype)
+        C, S = C[:W], S[:W]
+    jj = jnp.arange(W)
+    ks = jnp.arange(1, 7, dtype=dtype)
+    kmask6 = jnp.arange(6)
+
+    def one(pos, f0i):
+        ok = f0i > 0
+        f0s = jnp.where(ok, f0i, 100.0)
+        h = (1.5 * fs8 / f0s + 1.0).astype(jnp.int32)
+        e_c = jnp.floor(jnp.log((h * 2.0 + 1.0).astype(dtype))
+                        / cfg.K_LOG2).astype(jnp.int32)
+        r = (B // 4) >> e_c            # = B / B_c  (B_c = 4 * 2^e_c)
+        bc_half = 2 * (1 << e_c)       # = B_c / 2
+        valid = jj <= 2 * h
+        wt = (2.0 * h.astype(dtype) + 1.0) / fs8
+        base0 = prims.matlab_round_i(
+            (pos + (-h).astype(dtype) / fs8) * fs8 + 0.001)
+        base_index = base0 + jj
+        tmp = (base_index.astype(dtype) - 1.0) / fs8 - pos
+        mw = (0.42 + 0.5 * jnp.cos(2 * jnp.pi * tmp / wt)
+              + 0.08 * jnp.cos(4 * jnp.pi * tmp / wt))
+        mw = jnp.where(valid, mw, 0.0)
+        mw_p = jnp.concatenate([mw[1:], jnp.zeros(1, dtype)])
+        mw_m = jnp.concatenate([jnp.zeros(1, dtype), mw[:-1]])
+        dw = jnp.where(valid, -(mw_p - mw_m) / 2.0, 0.0)
+        if fast:
+            seg = jax.lax.dynamic_slice(
+                ypad, (jnp.clip(base0 - 1 + padn, 0, None),), (W,))
+            sm_re, sm_im = (seg * mw) @ C, (seg * mw) @ S
+            sd_re, sd_im = (seg * dw) @ C, (seg * dw) @ S
+        else:
+            seg = jnp.take(y, jnp.clip(base_index - 1, 0, L - 1),
+                           mode="clip")
+            sm = jnp.fft.rfft(seg * mw, B)
+            sd = jnp.fft.rfft(seg * dw, B)
+            sm_re, sm_im = jnp.real(sm), jnp.imag(sm)
+            sd_re, sd_im = jnp.real(sd), jnp.imag(sd)
+        nh = jnp.minimum((fs8 / 2.0 / f0s).astype(jnp.int32), 6)
+        idx_c = jnp.clip(prims.matlab_round_i(
+            f0s * (4 * (1 << e_c)).astype(dtype) / fs8 * ks), 0, bc_half)
+        idx = idx_c * r
+        p = (jnp.take(sm_re, idx) ** 2 + jnp.take(sm_im, idx) ** 2)
+        nm = (jnp.take(sm_re, idx) * jnp.take(sd_im, idx)
+              - jnp.take(sm_im, idx) * jnp.take(sd_re, idx))
+        inst = jnp.where(p == 0.0, 0.0,
+                         idx_c.astype(dtype) * fs8
+                         / (4 * (1 << e_c)).astype(dtype)
+                         + nm / p * fs8 / (2.0 * jnp.pi))
+        amp = jnp.sqrt(p)
+        mask = (kmask6 < nh).astype(dtype)
+        num = jnp.sum(amp * inst * mask)
+        den = jnp.sum(amp * ks * mask)
+        score_sum = jnp.sum(jnp.abs((inst / ks - f0s) / f0s) * mask)
+        rf0 = num / (den + cfg.K_MY_SAFE_GUARD_MINIMUM)
+        score = 1.0 / (score_sum / nh.astype(dtype)
+                       + cfg.K_MY_SAFE_GUARD_MINIMUM)
+        bad = ((rf0 < f0_floor) | (rf0 > f0_ceil) | (score < 2.5) | ~ok)
+        return jnp.where(bad, 0.0, rf0), jnp.where(bad, 0.0, score)
+
+    def block(args):
+        return jax.vmap(one)(*args)
+
+    rf, sc = jax.lax.map(block, (flat_pos.reshape(-1, chunk),
+                                 flat_f0.reshape(-1, chunk)))
+    return (rf.reshape(-1)[:P].reshape(T, NC),
+            sc.reshape(-1)[:P].reshape(T, NC))
 
 
 def refine_candidates(y, fs8: float, temporal, cands: np.ndarray,
@@ -552,35 +713,73 @@ def smooth_contour(f0: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def harvest_f0_trace(x, fs: int, f0_floor: float = cfg.K_FLOOR_F0,
+                     f0_ceil: float = cfg.K_CEIL_F0):
+    """Jittable/vmappable Harvest: x (L,) -> f0 on the 1 ms grid, fully
+    on device (HarvestGeneralBody, harvest.cpp:1155-1218).  Use inside
+    jit/vmap; `harvest` wraps it with a cached jit."""
+    L = int(x.shape[0])
+    plan = harvest_plan(L, fs, f0_floor, f0_ceil)
+    fs8 = plan["actual_fs"]
+    T1 = cfg.samples_for_dio(fs, L, 1.0)
+    y = _waveform_sub(x, L, plan["ratio"], plan["y_length"])
+    y = y - jnp.mean(y)
+    raw = _raw_candidates(
+        y, fs8, plan["fft_size"], plan["y_length"], T1,
+        tuple(plan["boundaries"]), f0_floor, f0_ceil, 1.0)
+    cands, nc = hf.detect_candidates(raw, plan["nc_pad"])
+    cands = hf.overlap_candidates(cands, nc)
+    positions = jnp.arange(T1, dtype=x.dtype) * 0.001
+    refined, scores = refine_all(y, positions, cands, fs8, f0_floor,
+                                 f0_ceil)
+    refined, scores = hf.remove_unreliable(refined, scores)
+    s4 = hf.fix_contour(refined, scores, hf.step3_section_cap(T1))
+    return hf.smooth_contour(s4, hf.smooth_section_cap(T1))
+
+
+@partial(jax.jit, static_argnames=("fs", "f0_floor", "f0_ceil"))
+def _harvest_core(x, fs: int, f0_floor: float, f0_ceil: float):
+    return harvest_f0_trace(x, fs, f0_floor, f0_ceil)
+
+
 def harvest(x, fs: int, frame_period: float = 5.0,
-            f0_floor: float = cfg.K_FLOOR_F0, f0_ceil: float = cfg.K_CEIL_F0):
-    """Harvest (harvest.cpp:1223-1255) -> (temporal_positions, f0)."""
+            f0_floor: float = cfg.K_FLOOR_F0, f0_ceil: float = cfg.K_CEIL_F0,
+            contour: str = "device"):
+    """Harvest (harvest.cpp:1223-1255) -> (temporal_positions, f0).
+
+    contour="device" (default) runs everything — band filtering,
+    candidate consolidation, IF refinement, the FixStep/Extend/Merge
+    machinery and the Butterworth smoothing — as one jitted program
+    (ops/harvest_fix.py).  contour="host" keeps the faithful serial
+    numpy transcription used as the test oracle."""
     x = jnp.asarray(x)
     L = int(x.shape[0])
     plan = harvest_plan(L, fs, f0_floor, f0_ceil)
     fs8 = plan["actual_fs"]
     T1 = cfg.samples_for_dio(fs, L, 1.0)  # basic 1 ms grid
-    y = _waveform_sub(x, L, plan["ratio"], plan["y_length"])
-    y = y - jnp.mean(y)
 
-    raw = np.asarray(_raw_candidates(
-        y, fs8, plan["fft_size"], plan["y_length"], T1,
-        tuple(plan["boundaries"]), f0_floor, f0_ceil, 1.0))
-
-    cands, nc = detect_official_candidates(raw, plan["max_candidates"])
-    cands = overlap_candidates(cands, nc)
-    nc_total = nc * OVERLAP_PARAMETER
-    cands = cands[:, :nc_total] if nc_total else cands[:, :1]
-
-    temporal1 = np.arange(T1) * 0.001
-    refined, rscores = refine_candidates(y, fs8, temporal1, cands,
-                                         f0_floor, f0_ceil)
-    refined, rscores = remove_unreliable(refined, rscores)
-    best = fix_contour(refined, rscores)
-    f0_1ms = smooth_contour(best)
+    if contour == "device":
+        f0_1ms = _harvest_core(x, fs, f0_floor, f0_ceil)
+    else:
+        y = _waveform_sub(x, L, plan["ratio"], plan["y_length"])
+        y = y - jnp.mean(y)
+        raw = np.asarray(_raw_candidates(
+            y, fs8, plan["fft_size"], plan["y_length"], T1,
+            tuple(plan["boundaries"]), f0_floor, f0_ceil, 1.0))
+        cands, nc = detect_official_candidates(raw, plan["max_candidates"])
+        cands = overlap_candidates(cands, nc)
+        nc_total = nc * OVERLAP_PARAMETER
+        cands = cands[:, :nc_total] if nc_total else cands[:, :1]
+        temporal1 = np.arange(T1) * 0.001
+        refined, rscores = refine_candidates(y, fs8, temporal1, cands,
+                                             f0_floor, f0_ceil)
+        refined, rscores = remove_unreliable(refined, rscores)
+        best = fix_contour(refined, rscores)
+        f0_1ms = jnp.asarray(smooth_contour(best), x.dtype)
 
     # decimate the 1 ms contour to the target frame period (:1246-1251)
     T = cfg.samples_for_dio(fs, L, frame_period)
     temporal = np.arange(T) * frame_period / 1000.0
     idx = np.minimum(T1 - 1, np.trunc(temporal * 1000.0 + 0.5).astype(int))
-    return jnp.asarray(temporal, x.dtype), jnp.asarray(f0_1ms[idx], x.dtype)
+    return (jnp.asarray(temporal, x.dtype),
+            jnp.asarray(f0_1ms)[jnp.asarray(idx)].astype(x.dtype))

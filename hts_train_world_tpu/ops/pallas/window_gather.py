@@ -78,7 +78,7 @@ def windowed_frames(x, origins, halfs, f0s, N: int, fs: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(Tp // ROWS,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((ROWS, N), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((ROWS, N), x.dtype),

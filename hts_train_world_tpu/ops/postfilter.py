@@ -113,7 +113,9 @@ def mspf_stats(trajs) -> MspfStats:
     for t in trajs:
         tc = jnp.asarray(t) - jnp.mean(jnp.asarray(t), axis=0)
         ms, _ = jax.vmap(seq2msmp, in_axes=1)(tc)   # (D, F, half+1)
-        ms = np.asarray(ms)
+        # accumulate in float64: the one-pass E[x^2]-E[x]^2 form cancels
+        # catastrophically in f32 at corpus scale
+        ms = np.asarray(ms, np.float64)
         s1, s2 = ms.sum(1), (ms * ms).sum(1)
         n = ms.shape[1]
         if sums is None:

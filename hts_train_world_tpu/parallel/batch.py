@@ -12,6 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from hts_train_world_tpu import config as cfg
@@ -23,9 +24,20 @@ from hts_train_world_tpu.ops import synthesis as syn
 
 
 def _analyze_one(x, fs: int, frame_period: float, fft_size: int,
-                 threshold: float):
-    t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
-    f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
+                 threshold: float, algorithm: str = "dio"):
+    if algorithm == "harvest":
+        from hts_train_world_tpu.ops import harvest as hv
+        L = x.shape[0]
+        f0_1ms = hv.harvest_f0_trace(x, fs)
+        T1 = cfg.samples_for_dio(fs, L, 1.0)
+        T = cfg.samples_for_dio(fs, L, frame_period)
+        tnp = np.arange(T) * frame_period / 1000.0
+        idx = np.minimum(T1 - 1, np.trunc(tnp * 1000.0 + 0.5).astype(int))
+        t = jnp.asarray(tnp, x.dtype)
+        f0 = f0_1ms[jnp.asarray(idx)]
+    else:
+        t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
+        f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
     sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, fft_size)
     ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, fft_size, threshold, None)
     return t, f0, sp, ap
@@ -39,17 +51,20 @@ def _copy_synth_one(x, fs: int, frame_period: float, fft_size: int,
     return f0, sp, ap, y
 
 
-@partial(jax.jit, static_argnames=("fs", "frame_period", "d4c_threshold"))
+@partial(jax.jit, static_argnames=("fs", "frame_period", "d4c_threshold",
+                                   "algorithm"))
 def batch_analyze(xs, fs: int, frame_period: float = 5.0,
-                  d4c_threshold: float = 0.0):
+                  d4c_threshold: float = 0.0, algorithm: str = "dio"):
     """xs: (B, L) equal-length utterances -> batched (t, f0, sp, ap).
 
     Fast mode (no reference noise stream): intended for TPU throughput;
     per-utterance parity runs use the single-utterance kernels.
+    algorithm="harvest" swaps DIO+StoneMask for the device Harvest stack
+    (ops/harvest_fix.py) — the WORLD library's harvest-based flow.
     """
     N = cfg.cheaptrick_fft_size(fs)
     return jax.vmap(lambda x: _analyze_one(x, fs, frame_period, N,
-                                           d4c_threshold))(xs)
+                                           d4c_threshold, algorithm))(xs)
 
 
 def make_sharded_pipeline(mesh, fs: int, frame_period: float = 5.0,

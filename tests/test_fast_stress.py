@@ -1,0 +1,106 @@
+"""Adversarial robustness sweep for the f32 fast paths.
+
+The fast-mode band caps (ops/dio.py zero-crossing compaction caps,
+harvest's per-octave channel caps) and the f32 smoothing mirrors are
+correctness-by-argument; this suite drives them with hostile inputs —
+silence, impulse clicks, hard-clipped harmonics, wideband noise — at
+8 kHz, 48 kHz and 96 kHz, comparing the f32 fast path against the f64
+parity path end-to-end."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hts_train_world_tpu import vocoder
+
+
+def _signals(fs, dur=0.6, seed=0):
+    L = int(fs * dur)
+    t = np.arange(L) / fs
+    rng = np.random.default_rng(seed)
+    sigs = {}
+    sigs["silence"] = np.zeros(L)
+    clicks = np.zeros(L)
+    clicks[:: fs // 50] = 0.9 * np.sign(rng.standard_normal(len(
+        clicks[:: fs // 50])))
+    sigs["clicks"] = clicks
+    f0c = 180 * (1 + 0.02 * np.sin(2 * np.pi * 4 * t))
+    ph = np.cumsum(2 * np.pi * f0c / fs)
+    harm = (0.8 * np.sin(ph) + 0.5 * np.sin(2 * ph) + 0.3 * np.sin(3 * ph))
+    sigs["clipped"] = np.clip(2.5 * harm, -1.0, 1.0)
+    sigs["noise"] = 0.5 * rng.standard_normal(L)
+    sigs["voiced"] = (0.6 * np.sin(ph) + 0.2 * np.sin(2 * ph)
+                      + 0.01 * rng.standard_normal(L))
+    return sigs
+
+
+@pytest.mark.parametrize("fs", [8000, 48000, 96000])
+def test_fast_vs_parity_stress(fs):
+    for name, x in _signals(fs).items():
+        a64 = vocoder.analyze(jnp.asarray(x, jnp.float64), fs, 5.0,
+                              parity=False)
+        a32 = vocoder.analyze(jnp.asarray(x, jnp.float32), fs, 5.0,
+                              parity=False)
+        f64v = np.asarray(a64.f0)
+        f32v = np.asarray(a32.f0)
+        msg = f"{name}@{fs}"
+        assert np.isfinite(np.asarray(a32.spectrogram)).all(), msg
+        assert np.isfinite(np.asarray(a32.aperiodicity)).all(), msg
+        assert np.isfinite(f32v).all(), msg
+        assert (np.asarray(a32.spectrogram) > 0).all(), msg
+        ap = np.asarray(a32.aperiodicity)
+        assert (ap >= 0).all() and (ap <= 1.0).all(), msg
+        # V/UV decisions track the f64 fast path.  Pathological signals
+        # (click trains, wideband noise) have no well-defined F0 and the
+        # discrete V/UV decisions amplify last-ulp differences, so they
+        # get a looser agreement bar; tonal signals a strict one.
+        tonal = name in ("voiced", "clipped")
+        agree = ((f64v > 0) == (f32v > 0)).mean()
+        assert agree > (0.9 if tonal else 0.7), \
+            f"{msg}: vuv agreement {agree}"
+        both = (f64v > 0) & (f32v > 0)
+        if both.any() and tonal:
+            rel = np.abs(f32v[both] - f64v[both]) / f64v[both]
+            assert np.median(rel) < 1e-3, f"{msg}: f0 med rel {rel}"
+        # envelope: median log-spectral deviation stays small on bins
+        # within 60 dB of each frame's peak (below that the f32 fast
+        # path sits on its documented relative floor)
+        sp64 = np.asarray(a64.spectrogram)
+        live = (sp64 > sp64.max(axis=1, keepdims=True) * 1e-6) \
+            & (sp64 > 1e-20)  # digital silence: both dtypes sit on floors
+        if live.any():
+            ls = np.abs(np.log(np.asarray(a32.spectrogram,
+                                          np.float64)[live])
+                        - np.log(sp64[live]))
+            assert np.median(ls) < 0.1, f"{msg}: log-sp med {np.median(ls)}"
+
+
+@pytest.mark.parametrize("fs", [8000, 48000])
+def test_fast_harvest_stress(fs):
+    for name, x in _signals(fs, seed=1).items():
+        from hts_train_world_tpu.ops import harvest as hv
+        _, h64 = hv.harvest(jnp.asarray(x, jnp.float64), fs)
+        _, h32 = hv.harvest(jnp.asarray(x, jnp.float32), fs)
+        h64 = np.asarray(h64)
+        h32 = np.asarray(h32)
+        msg = f"{name}@{fs}"
+        tonal = name in ("voiced", "clipped")
+        assert np.isfinite(h32).all(), msg
+        agree = ((h64 > 0) == (h32 > 0)).mean()
+        assert agree > (0.85 if tonal else 0.7), \
+            f"{msg}: vuv agreement {agree}"
+        both = (h64 > 0) & (h32 > 0)
+        if both.any() and tonal:
+            rel = np.abs(h32[both] - h64[both]) / h64[both]
+            assert np.median(rel) < 2e-3, f"{msg}: med rel {np.median(rel)}"
+
+
+def test_fast_synthesis_stress():
+    fs = 48000
+    x = _signals(fs)["clipped"]
+    a = vocoder.analyze(jnp.asarray(x, jnp.float32), fs, 5.0, parity=False)
+    y = vocoder.synthesize(a.f0, a.spectrogram, a.aperiodicity, fs,
+                           a.fft_size, parity=False)
+    yv = np.asarray(y)
+    assert np.isfinite(yv).all()
+    assert np.abs(yv).max() < 4.0  # no blowup from the clipped envelope
+    assert np.abs(yv).max() > 0.05
