@@ -263,8 +263,12 @@ def load_htsvoice(path: str):
     body = data[data.index(b"[DATA]\n") + 7:]
 
     def one_range(r):
-        s, e = r.split("-")
-        return body[int(s):int(e) + 1]
+        s, e = (int(v) for v in r.split("-"))
+        if s < 0 or e < s or e >= len(body):
+            raise ValueError(
+                f"htsvoice range {r} outside DATA section "
+                f"({len(body)} bytes) — truncated or corrupt file")
+        return body[s:e + 1]
 
     def payload(tag):
         return one_range(hdr[tag])
