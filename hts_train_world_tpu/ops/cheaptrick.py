@@ -158,10 +158,10 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
         cl = (1.0 - 2.0 * q1) + 2.0 * q1 * jnp.cos(2.0 * jnp.pi * q * f0i)
         log_ps = jnp.log(ps)
         if use_matmul:
-            creal = log_ps @ fftmat.sym_rfft_real_mat(N, dtype)
+            creal = fftmat.mm(log_ps, fftmat.sym_rfft_real_mat(N, dtype))
             spec2 = creal * sl * cl / N
             A, _ = fftmat.irfft_half_mats(N, dtype)
-            return jnp.exp(spec2 @ A)
+            return jnp.exp(fftmat.mm(spec2, A))
         sym = jnp.concatenate([log_ps, log_ps[-2:0:-1]])
         C = jnp.conj(jnp.fft.rfft(sym))  # wrapper negates imag (fft.cpp:57)
         spec2 = jnp.real(C) * sl * cl / N  # imag forced to 0 (cheaptrick.cpp:48)

@@ -112,14 +112,16 @@ def code_spectral_envelope(spectrogram, fs: int, fft_size: int, n_dims: int):
     """CodeSpectralEnvelope (codec.cpp:266-295): log -> mel interp -> DCT."""
     k, s, D = _coding_tables(fs, fft_size, n_dims)
     mel_sp = _gather_lerp(jnp.log(spectrogram), k, s)
-    return mel_sp @ D.astype(spectrogram.dtype)
+    from hts_train_world_tpu.ops import fftmat as _fm
+    return _fm.mm(mel_sp, D.astype(spectrogram.dtype))
 
 
 def decode_spectral_envelope(coded, fs: int, fft_size: int, n_dims: int):
     """DecodeSpectralEnvelope (codec.cpp:297-324): IDCT -> Hz interp ->
     exp(x / (fft_size/2))."""
     k, s, Dinv = _decoding_tables(fs, fft_size, n_dims)
-    mel_sp = coded @ Dinv.astype(coded.dtype)          # (T, M)
+    from hts_train_world_tpu.ops import fftmat as _fm
+    mel_sp = _fm.mm(coded, Dinv.astype(coded.dtype))   # (T, M)
     # boundary duplication: mel_spectrum[0]=ms[0], [M+1]=ms[M-1]
     padded = jnp.concatenate(
         [mel_sp[..., :1], mel_sp, mel_sp[..., -1:]], axis=-1)

@@ -20,8 +20,20 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# All operator matmuls pin f32 precision: the TPU default is single-pass
+# bf16, which triples the fast path's envelope error (median |d log sp|
+# 0.067 vs 0.020 vs true-f32 CPU) for no measurable speedup at these
+# shapes (tools/ablate_precision.py on the chip: 692 vs 622 ms/batch).
+HI = jax.lax.Precision.HIGHEST
+
+
+def mm(x, M):
+    """Matmul at pinned f32 precision (see module note)."""
+    return jnp.matmul(x, M, precision=HI)
 
 # f32 fast paths run per-frame DFTs as MXU matmuls up to this size; above
 # it they fall back to XLA's FFT.  4096 covers the 48 kHz CheapTrick/D4C/
@@ -47,7 +59,7 @@ def rfft_mats(N: int, dtype=jnp.float32):
 def rfft_matmul(x, N: int):
     """x (..., N) -> (Re, Im) each (..., N/2+1)."""
     C, S = rfft_mats(N, x.dtype)
-    return x @ C, x @ S
+    return mm(x, C), mm(x, S)
 
 
 @functools.lru_cache(maxsize=None)
@@ -73,7 +85,7 @@ def irfft_mats(N: int, dtype=jnp.float32):
 def irfft_scaled_matmul(re, im, N: int):
     """(Re, Im) (..., N/2+1) -> irfft(X) * N  (..., N)."""
     A, B = irfft_mats(N, re.dtype)
-    return re @ A + im @ B
+    return mm(re, A) + mm(im, B)
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,8 +114,8 @@ def minphase_matmul(log_half, N: int):
     """log_half (..., N/2+1) -> (Re, Im) of the min-phase spectrum
     exp(D): returns exp(re)*cos(im), exp(re)*sin(im)."""
     R, I = minphase_mats(N, log_half.dtype)
-    dre = log_half @ R
-    dim = log_half @ I
+    dre = mm(log_half, R)
+    dim = mm(log_half, I)
     mag = jnp.exp(dre)
     return mag * jnp.cos(dim), mag * jnp.sin(dim)
 
@@ -140,6 +152,6 @@ def rfft_power_matmul(x, N: int):
     semantics (the operator rows are sliced to L)."""
     L = x.shape[-1]
     C, S = rfft_mats(N, x.dtype)
-    re = x @ C[:L]
-    im = x @ S[:L]
+    re = mm(x, C[:L])
+    im = mm(x, S[:L])
     return re * re + im * im

@@ -361,8 +361,9 @@ def refine_all(y, positions, cands, fs8: float, f0_floor: float,
         if fast:
             seg = jax.lax.dynamic_slice(
                 ypad, (jnp.clip(base0 - 1 + padn, 0, None),), (W,))
-            sm_re, sm_im = (seg * mw) @ C, (seg * mw) @ S
-            sd_re, sd_im = (seg * dw) @ C, (seg * dw) @ S
+            from hts_train_world_tpu.ops import fftmat as _fm
+            sm_re, sm_im = _fm.mm(seg * mw, C), _fm.mm(seg * mw, S)
+            sd_re, sd_im = _fm.mm(seg * dw, C), _fm.mm(seg * dw, S)
         else:
             seg = jnp.take(y, jnp.clip(base_index - 1, 0, L - 1),
                            mode="clip")
@@ -713,23 +714,27 @@ def smooth_contour(f0: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def harvest_f0_trace(x, fs: int, f0_floor: float = cfg.K_FLOOR_F0,
-                     f0_ceil: float = cfg.K_CEIL_F0):
-    """Jittable/vmappable Harvest: x (L,) -> f0 on the 1 ms grid, fully
-    on device (HarvestGeneralBody, harvest.cpp:1155-1218).  Use inside
-    jit/vmap; `harvest` wraps it with a cached jit."""
+def _harvest_front_trace(x, fs: int, f0_floor: float, f0_ceil: float):
+    """Decimation -> band filtering -> candidate detection + overlap.
+    Returns (y, cands (T1, nc_pad), nc)."""
     L = int(x.shape[0])
     plan = harvest_plan(L, fs, f0_floor, f0_ceil)
-    fs8 = plan["actual_fs"]
     T1 = cfg.samples_for_dio(fs, L, 1.0)
     y = _waveform_sub(x, L, plan["ratio"], plan["y_length"])
     y = y - jnp.mean(y)
     raw = _raw_candidates(
-        y, fs8, plan["fft_size"], plan["y_length"], T1,
+        y, plan["actual_fs"], plan["fft_size"], plan["y_length"], T1,
         tuple(plan["boundaries"]), f0_floor, f0_ceil, 1.0)
     cands, nc = hf.detect_candidates(raw, plan["nc_pad"])
-    cands = hf.overlap_candidates(cands, nc)
-    positions = jnp.arange(T1, dtype=x.dtype) * 0.001
+    return y, hf.overlap_candidates(cands, nc), nc
+
+
+def _harvest_back_trace(y, cands, fs8: float, f0_floor: float,
+                        f0_ceil: float):
+    """Refinement -> pruning -> contour fixing -> smoothing on a
+    (T1, NC) candidate field (NC may be sliced to the true 7*nc)."""
+    T1 = int(cands.shape[0])
+    positions = jnp.arange(T1, dtype=y.dtype) * 0.001
     refined, scores = refine_all(y, positions, cands, fs8, f0_floor,
                                  f0_ceil)
     refined, scores = hf.remove_unreliable(refined, scores)
@@ -737,9 +742,71 @@ def harvest_f0_trace(x, fs: int, f0_floor: float = cfg.K_FLOOR_F0,
     return hf.smooth_contour(s4, hf.smooth_section_cap(T1))
 
 
+def harvest_f0_trace(x, fs: int, f0_floor: float = cfg.K_FLOOR_F0,
+                     f0_ceil: float = cfg.K_CEIL_F0):
+    """Jittable/vmappable Harvest: x (L,) -> f0 on the 1 ms grid, fully
+    on device (HarvestGeneralBody, harvest.cpp:1155-1218) in a single
+    trace (worst-case candidate width).  Use inside jit/vmap; `harvest`
+    instead runs the two-stage dispatch below, which is faster."""
+    plan = harvest_plan(int(x.shape[0]), fs, f0_floor, f0_ceil)
+    y, cands, _ = _harvest_front_trace(x, fs, f0_floor, f0_ceil)
+    return _harvest_back_trace(y, cands, plan["actual_fs"], f0_floor,
+                               f0_ceil)
+
+
 @partial(jax.jit, static_argnames=("fs", "f0_floor", "f0_ceil"))
+def _harvest_front(x, fs: int, f0_floor: float, f0_ceil: float):
+    return _harvest_front_trace(x, fs, f0_floor, f0_ceil)
+
+
+@partial(jax.jit, static_argnames=("fs8", "f0_floor", "f0_ceil"))
+def _harvest_back(y, cands, fs8: float, f0_floor: float, f0_ceil: float):
+    return _harvest_back_trace(y, cands, fs8, f0_floor, f0_ceil)
+
+
+_NC_BUCKETS = (1, 2, 3, 4, 6, 8, 13)
+
+
+@partial(jax.jit, static_argnames=("fs", "f0_floor", "f0_ceil"))
+def _harvest_front_b(xs, fs: int, f0_floor: float, f0_ceil: float):
+    return jax.vmap(
+        lambda x: _harvest_front_trace(x, fs, f0_floor, f0_ceil))(xs)
+
+
+@partial(jax.jit, static_argnames=("fs8", "f0_floor", "f0_ceil"))
+def _harvest_back_b(ys, candss, fs8: float, f0_floor: float,
+                    f0_ceil: float):
+    return jax.vmap(lambda y, c: _harvest_back_trace(
+        y, c, fs8, f0_floor, f0_ceil))(ys, candss)
+
+
+def harvest_f0_batch(xs, fs: int, f0_floor: float = cfg.K_FLOOR_F0,
+                     f0_ceil: float = cfg.K_CEIL_F0):
+    """Batched Harvest: xs (B, L) -> f0 (B, T1) on the 1 ms grid, with
+    the same two-stage width dispatch as `harvest` (the bucket follows
+    the batch MAX candidate count, so every utterance stays exact)."""
+    plan = harvest_plan(int(xs.shape[1]), fs, f0_floor, f0_ceil)
+    ys, cs, ncs = _harvest_front_b(xs, fs, f0_floor, f0_ceil)
+    nc_v = max(int(jnp.max(ncs)), 1)
+    ncb = next((b for b in _NC_BUCKETS if b >= nc_v), _NC_BUCKETS[-1])
+    width = min(7 * ncb, plan["nc_pad"])
+    return _harvest_back_b(ys, cs[:, :, :width], plan["actual_fs"],
+                           f0_floor, f0_ceil)
+
+
 def _harvest_core(x, fs: int, f0_floor: float, f0_ceil: float):
-    return harvest_f0_trace(x, fs, f0_floor, f0_ceil)
+    """Two-stage device dispatch: the front runs at the worst-case
+    candidate width, then ONE scalar fetch of the true per-frame
+    candidate count picks a bucketed column width for the expensive
+    refinement (pairs beyond 7*nc are all zero, so slicing is exact) —
+    3-6x less refine work on typical audio at the cost of one sync."""
+    plan = harvest_plan(int(x.shape[0]), fs, f0_floor, f0_ceil)
+    y, cands, nc = _harvest_front(x, fs, f0_floor, f0_ceil)
+    nc_v = max(int(nc), 1)
+    ncb = next((b for b in _NC_BUCKETS if b >= nc_v), _NC_BUCKETS[-1])
+    width = min(7 * ncb, plan["nc_pad"])
+    return _harvest_back(y, cands[:, :width], plan["actual_fs"],
+                         f0_floor, f0_ceil)
 
 
 def harvest(x, fs: int, frame_period: float = 5.0,

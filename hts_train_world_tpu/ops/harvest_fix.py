@@ -404,9 +404,8 @@ def _butter_pass(x):
     dtype = x.dtype
 
     if dtype == jnp.float32:
-        A = jnp.asarray([[a0, a1], [1.0, 0.0]], dtype)
         xin = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
-        s = prims.affine_scan(A, xin)     # (L, 2) = (w_t, w_{t-1})
+        s = prims.affine_scan((a0, a1), xin)  # (L, 2) = (w_t, w_{t-1})
         w = s[:, 0]
         w1 = jnp.concatenate([jnp.zeros(1, dtype), w[:-1]])
         w2 = jnp.concatenate([jnp.zeros(2, dtype), w[:-2]])

@@ -20,8 +20,6 @@ in shapes.  All math follows the input dtype (float64 in parity mode).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,53 +47,33 @@ def exact_div(x, divisor: float):
     return x / den
 
 
-@functools.lru_cache(maxsize=None)
-def _tri_ones(c: int):
-    import numpy as _np
-    return _np.triu(_np.ones((c, c), _np.float32))
-
-
-def cumsum_mxu(x, chunk: int = 128):
-    """Inclusive prefix sum along the minor axis via chunked triangular
-    matmuls — the TPU-fast cumsum for long rows.
-
-    XLA lowers jnp.cumsum on TPU as a reduce-window: O(n*window) VPU work
-    that dominates D4C's smoothing chain and synthesis' phase
-    accumulation at n of a few thousand+.  Chunking into (chunk)-wide
-    blocks puts the O(n*chunk) inner prefix on the MXU (x_r @ triu ones)
-    and leaves only an n/chunk-long carry cumsum.  precision=HIGHEST
-    keeps f32-faithful accumulation (products are by 1.0, exact); the sum
-    reassociates, so this is for fast paths only, never f64 parity."""
-    P = x.shape[-1]
-    if P <= 2 * chunk:
-        return jnp.cumsum(x, axis=-1)
-    n = -(-P // chunk)
-    pad = n * chunk - P
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    xr = xp.reshape(x.shape[:-1] + (n, chunk))
-    tri = jnp.asarray(_tri_ones(chunk), x.dtype)
-    within = jax.lax.dot_general(
-        xr, tri, (((xr.ndim - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
-    sums = xr.sum(axis=-1)
-    carry = jnp.cumsum(sums, axis=-1) - sums
-    out = within + carry[..., None]
-    return out.reshape(x.shape[:-1] + (n * chunk,))[..., :P]
+# NOTE: a chunked-triangular-matmul "cumsum_mxu" was prototyped in r3 as
+# a candidate replacement for jnp.cumsum on long rows; measured on the
+# chip (tools/profile_zc.py) it was within noise of XLA's cumsum at the
+# shapes this framework hits (608x16000: 25.3 vs 25.5 ms), so it was
+# removed rather than wired in.
 
 
 def compact_indices(mask, cap: int, fill_value: int):
     """Positions of True entries in ascending order, padded to `cap` with
     fill_value — semantically jnp.nonzero(mask, size=cap, fill_value=...).
 
-    Implemented as a binary search over the inclusive cumsum (the k-th
-    True sits where cumsum first reaches k+1): O(cap * log n) fully
-    vectorized gathers — TPU lowers both nonzero (sort) and scatter
-    poorly, and this avoids both."""
-    csum = jnp.cumsum(mask.astype(jnp.int32))
-    k = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    idx = jnp.searchsorted(csum, k, side="left").astype(jnp.int32)
-    n_true = csum[-1]
-    return jnp.where(k <= n_true, idx, fill_value)
+    Implemented as lax.top_k over negated (masked) indices: the first
+    `cap` ascending True positions are the top-k of -idx.  Exact (integer
+    comparisons) on every backend, and 8x faster on TPU than the
+    previous cumsum+searchsorted binary search (32 ms vs 254 ms for
+    608x16000 at cap 2624 — tools/profile_zc.py), which lowered to a
+    sequential while_loop of gathers."""
+    n = mask.shape[-1]
+    k = min(cap, n)
+    idx = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n)
+    topv, _ = jax.lax.top_k(-idx, k)
+    pos = -topv
+    if k < cap:
+        pos = jnp.concatenate(
+            [pos, jnp.full(cap - k, n, jnp.int32)])
+    n_true = jnp.sum(mask)
+    return jnp.where(jnp.arange(cap) < n_true, pos, fill_value)
 
 
 def matlab_round(x):
@@ -133,7 +111,12 @@ def interp1(x, y, xi, n_valid=None, exact=False):
         big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
         xm = jnp.where(jnp.arange(n) < n_valid, x, big)
         kmax = jnp.maximum(n_valid - 1, 1)
-    k = jnp.searchsorted(xm, xi, side="right")
+    # method: the default binary search lowers to a sequential
+    # while_loop of gathers on TPU; 'sort' is 3x faster there
+    # (tools/profile_zc.py) and returns identical indices.  f64 parity
+    # runs live on CPU where the binary search wins — keep it there.
+    method = "sort" if x.dtype == jnp.float32 else "scan"
+    k = jnp.searchsorted(xm, xi, side="right", method=method)
     k = jnp.clip(k, 1, kmax)
     x0 = jnp.take(x, k - 1, mode="clip")
     x1 = jnp.take(x, k, mode="clip")
@@ -201,22 +184,70 @@ _DECIMATE_COEF = {
 }
 
 
-def affine_scan(A, x):
-    """Prefix states of s_t = A s_{t-1} + x_t via associative_scan.
+_AFFINE_KERNEL_CACHE: dict = {}
 
-    A: (d, d) constant matrix; x: (L, d) inputs; returns (L, d) states
-    (s_{-1} = 0).  Log-depth on TPU; reassociates the recurrence, so for
-    f32 fast paths only — f64 parity IIRs keep the sequential scan."""
-    L = x.shape[0]
-    Ms = jnp.broadcast_to(A, (L,) + A.shape)
 
-    def combine(l, r):
-        Ml, vl = l
-        Mr, vr = r
-        return Mr @ Ml, jnp.einsum("...ij,...j->...i", Mr, vl) + vr
+def _affine_kernel(coefs: tuple, d: int, block: int):
+    """Host-precomputed (f64 numpy) operators for the block evaluation of
+    s_t = A s_{t-1} + x_t: matrix powers F_k = A^k for k <= block, the
+    lower-triangular block-Toeplitz kernel K[(i,:),(j,:)] = F_{i-j}, and
+    the block-step matrix F_block."""
+    key = (coefs, d, block)
+    hit = _AFFINE_KERNEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    A = np.zeros((d, d))
+    A[0, :] = coefs
+    A[1:, :-1] = np.eye(d - 1)
+    F = np.empty((block + 1, d, d))
+    F[0] = np.eye(d)
+    for k in range(block):
+        F[k + 1] = A @ F[k]
+    K = np.zeros((block, d, block, d))
+    for i in range(block):
+        for j in range(i + 1):
+            K[i, :, j, :] = F[i - j]
+    out = (F[1:block + 1], K.reshape(block * d, block * d), F[block])
+    _AFFINE_KERNEL_CACHE[key] = out
+    return out
 
-    _, s = jax.lax.associative_scan(combine, (Ms, x))
-    return s
+
+def affine_scan(coefs: tuple, x):
+    """Prefix states of s_t = A s_{t-1} + x_t for the companion matrix A
+    of `coefs` (s_t[0] = sum_k coefs[k] * s_{t-1}[k] + x_t[0]; the rest
+    shift).  x: (L, d); returns (L, d) states with s_{-1} = 0.
+
+    TPU-first block-Toeplitz evaluation: within each block of 512 steps,
+    q_i = sum_j A^{i-j} x_j is ONE matmul against a host-precomputed f64
+    power kernel (direct sums of decayed terms — numerically benign,
+    unlike an associative scan of the non-normal companion matrices,
+    whose transient growth amplified f32 roundoff to ~5% of signal
+    scale); block-start states follow a tiny L/512-step carry scan, and
+    s_i = F_{i+1} s_start + q_i finishes in parallel.  For f32 fast
+    paths; f64 parity IIRs keep their exact sequential scans."""
+    block = 512
+    L, d = x.shape
+    Fj, Kmat, Fb = _affine_kernel(tuple(float(c) for c in coefs), d, block)
+    dtype = x.dtype
+    pad = (-L) % block
+    xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, block * d)
+    nb = xb.shape[0]
+    # HIGHEST: the TPU default matmul precision is bf16-class, which
+    # would put ~1e-2 relative error straight into the filtered signal
+    hi = jax.lax.Precision.HIGHEST
+    q = jnp.matmul(xb, jnp.asarray(Kmat.T, dtype),
+                   precision=hi).reshape(nb, block, d)
+
+    Fb_j = jnp.asarray(Fb, dtype)
+
+    def carry(s, q_last):
+        s_next = Fb_j @ s + q_last
+        return s_next, s
+
+    _, starts = jax.lax.scan(carry, jnp.zeros(d, dtype), q[:, -1, :])
+    s = jnp.einsum("kij,bj->bki", jnp.asarray(Fj, dtype), starts,
+                   precision=hi) + q
+    return s.reshape(-1, d)[:L]
 
 
 def _iir_filter_for_decimate(x, r: int):
@@ -228,10 +259,8 @@ def _iir_filter_for_decimate(x, r: int):
     dtype = x.dtype
 
     if dtype == jnp.float32:
-        A = jnp.asarray([[a0, a1, a2], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
-                        dtype)
         xin = jnp.stack([x, jnp.zeros_like(x), jnp.zeros_like(x)], axis=1)
-        s = affine_scan(A, xin)          # (L, 3) = (w_t, w_{t-1}, w_{t-2})
+        s = affine_scan((a0, a1, a2), xin)  # (L,3) = (w_t, w_t-1, w_t-2)
         w = s[:, 0]
         w1 = jnp.concatenate([jnp.zeros(1, dtype), w[:-1]])
         w2 = jnp.concatenate([jnp.zeros(2, dtype), w[:-2]])

@@ -213,7 +213,8 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
         # row scatter-add ~5x
         onehot = (chunk[None, :] == jnp.arange(n_chunks)[:, None]) \
             .astype(dtype)
-        R = onehot @ rows
+        from hts_train_world_tpu.ops import fftmat as _fm
+        R = _fm.mm(onehot, rows)
         first, second = R[:, :N], R[:, N:]
         yp = (jnp.pad(first, ((0, 1), (0, 0)))
               + jnp.pad(second, ((1, 0), (0, 0)))).reshape(-1)

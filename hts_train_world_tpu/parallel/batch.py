@@ -24,22 +24,42 @@ from hts_train_world_tpu.ops import synthesis as syn
 
 
 def _analyze_one(x, fs: int, frame_period: float, fft_size: int,
-                 threshold: float, algorithm: str = "dio"):
-    if algorithm == "harvest":
-        from hts_train_world_tpu.ops import harvest as hv
-        L = x.shape[0]
-        f0_1ms = hv.harvest_f0_trace(x, fs)
-        T1 = cfg.samples_for_dio(fs, L, 1.0)
-        T = cfg.samples_for_dio(fs, L, frame_period)
-        tnp = np.arange(T) * frame_period / 1000.0
-        idx = np.minimum(T1 - 1, np.trunc(tnp * 1000.0 + 0.5).astype(int))
-        t = jnp.asarray(tnp, x.dtype)
-        f0 = f0_1ms[jnp.asarray(idx)]
-    else:
-        t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
-        f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
+                 threshold: float):
+    t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
+    f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
     sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, fft_size)
     ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, fft_size, threshold, None)
+    return t, f0, sp, ap
+
+
+@partial(jax.jit, static_argnames=("fs", "frame_period", "d4c_threshold"))
+def _batch_spectral(xs, ts, f0s, fs: int, frame_period: float,
+                    d4c_threshold: float):
+    N = cfg.cheaptrick_fft_size(fs)
+
+    def one(x, t, f0):
+        sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, N)
+        ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, N, d4c_threshold,
+                                        None)
+        return sp, ap
+
+    return jax.vmap(one)(xs, ts, f0s)
+
+
+def _batch_analyze_harvest(xs, fs: int, frame_period: float,
+                           d4c_threshold: float):
+    """Harvest lane: batched two-stage F0 (one host sync for the
+    candidate-width dispatch) + batched CheapTrick/D4C."""
+    from hts_train_world_tpu.ops import harvest as hv
+    B, L = xs.shape
+    f0_1ms = hv.harvest_f0_batch(xs, fs)
+    T1 = cfg.samples_for_dio(fs, L, 1.0)
+    T = cfg.samples_for_dio(fs, L, frame_period)
+    tnp = np.arange(T) * frame_period / 1000.0
+    idx = np.minimum(T1 - 1, np.trunc(tnp * 1000.0 + 0.5).astype(int))
+    f0 = f0_1ms[:, jnp.asarray(idx)]
+    t = jnp.broadcast_to(jnp.asarray(tnp, xs.dtype), (B, T))
+    sp, ap = _batch_spectral(xs, t, f0, fs, frame_period, d4c_threshold)
     return t, f0, sp, ap
 
 
@@ -51,8 +71,14 @@ def _copy_synth_one(x, fs: int, frame_period: float, fft_size: int,
     return f0, sp, ap, y
 
 
-@partial(jax.jit, static_argnames=("fs", "frame_period", "d4c_threshold",
-                                   "algorithm"))
+@partial(jax.jit, static_argnames=("fs", "frame_period", "d4c_threshold"))
+def _batch_analyze_dio(xs, fs: int, frame_period: float,
+                       d4c_threshold: float):
+    N = cfg.cheaptrick_fft_size(fs)
+    return jax.vmap(lambda x: _analyze_one(x, fs, frame_period, N,
+                                           d4c_threshold))(xs)
+
+
 def batch_analyze(xs, fs: int, frame_period: float = 5.0,
                   d4c_threshold: float = 0.0, algorithm: str = "dio"):
     """xs: (B, L) equal-length utterances -> batched (t, f0, sp, ap).
@@ -60,11 +86,14 @@ def batch_analyze(xs, fs: int, frame_period: float = 5.0,
     Fast mode (no reference noise stream): intended for TPU throughput;
     per-utterance parity runs use the single-utterance kernels.
     algorithm="harvest" swaps DIO+StoneMask for the device Harvest stack
-    (ops/harvest_fix.py) — the WORLD library's harvest-based flow.
+    (ops/harvest_fix.py) — the WORLD library's harvest-based flow (two
+    jitted stages + one scalar sync for the candidate-width dispatch).
     """
-    N = cfg.cheaptrick_fft_size(fs)
-    return jax.vmap(lambda x: _analyze_one(x, fs, frame_period, N,
-                                           d4c_threshold, algorithm))(xs)
+    if algorithm == "harvest":
+        return _batch_analyze_harvest(xs, fs, frame_period, d4c_threshold)
+    if algorithm != "dio":
+        raise ValueError(f"unknown f0 algorithm {algorithm!r}")
+    return _batch_analyze_dio(xs, fs, frame_period, d4c_threshold)
 
 
 def make_sharded_pipeline(mesh, fs: int, frame_period: float = 5.0,

@@ -93,11 +93,45 @@ def synthesize(f0, spectrogram, aperiodicity, fs: int, fft_size: int = 0,
                          y_length, stream, exact_phase=parity)
 
 
+def modify_parameters(f0, spectrogram, fs: int, f0_scale: float = 1.0,
+                      formant_ratio: float = 1.0):
+    """The test demo's voice-change knobs (ParameterModification,
+    test/test.cpp:200-237): F0 scaling and spectral (formant)
+    stretching via log-spectrum resampling along a scaled frequency
+    axis; for ratio < 1 the tail above N/2*ratio holds the last
+    stretched bin."""
+    import jax
+    from hts_train_world_tpu.ops import prims
+    f0 = jnp.asarray(f0) * f0_scale
+    sp = jnp.asarray(spectrogram)
+    if formant_ratio == 1.0:
+        return f0, sp
+    half = sp.shape[1] - 1
+    N = 2 * half
+    i = jnp.arange(half + 1, dtype=sp.dtype)
+    axis1 = formant_ratio * i / N * fs
+    axis2 = i / N * fs
+
+    def frame(row):
+        out = jnp.exp(prims.interp1(axis1, jnp.log(row), axis2))
+        if formant_ratio < 1.0:
+            cut = int(N / 2.0 * formant_ratio)
+            hold = out[cut - 1]
+            out = jnp.where(jnp.arange(half + 1) >= cut, hold, out)
+        return out
+
+    return f0, jax.vmap(frame)(sp)
+
+
 def copy_synthesis(x, fs: int, frame_period: float = 5.0,
-                   parity: bool = True):
+                   parity: bool = True, f0_scale: float = 1.0,
+                   formant_ratio: float = 1.0):
     """Full analysis -> resynthesis round trip (the reference's de-facto
-    integration test, test/test.cpp)."""
+    integration test, test/test.cpp), with its optional F0/formant
+    voice-change knobs (test.cpp:17-21)."""
     a = analyze(x, fs, frame_period, parity=parity)
-    y = synthesize(a.f0, a.spectrogram, a.aperiodicity, fs, a.fft_size,
+    f0, sp = modify_parameters(a.f0, a.spectrogram, fs, f0_scale,
+                               formant_ratio)
+    y = synthesize(f0, sp, a.aperiodicity, fs, a.fft_size,
                    frame_period, parity=parity)
     return a, y

@@ -11,9 +11,9 @@ from hts_train_world_tpu import config as cfg
 from hts_train_world_tpu.ops import fftmat, prims
 from hts_train_world_tpu.ops import d4c as d4c_mod
 
-FS = 16000
+FS = int(os.environ.get("FS", "16000"))
 B, T = 8, 401
-L = 32000
+L = FS * 2
 FFTD = cfg.d4c_fft_size(FS)          # 2048
 NAP = cfg.number_of_aperiodicities(FS)
 print("fft_d", FFTD, "n_ap", NAP)

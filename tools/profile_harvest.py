@@ -94,15 +94,17 @@ def main():
     fns = stage_fns()
     if only:
         fns = {k: v for k, v in fns.items() if k in only.split(",")}
+    import jax.numpy as jnp
     prev = 0.0
     for name, fn in fns.items():
-        jf = jax.jit(fn)
-        out = jf(x)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:4]
+        # reduce on device: fetching full outputs would time the relay's
+        # host<->device bandwidth, not the kernel
+        jf = jax.jit(lambda x, f=fn: sum(
+            jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(f(x))))
+        np.asarray(jf(x))
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = jf(x)
-            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:4]
+            np.asarray(jf(x))
         dt = (time.perf_counter() - t0) / reps * 1000
         print(f"{name:8s} cum {dt:8.1f} ms   delta {dt - prev:8.1f} ms",
               flush=True)
