@@ -27,9 +27,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 FS = 48000  # the reference's own workload anchor (configure.ac:536-554)
-DUR = 2.0
-BATCH = 8
-ITERS = 5
+DUR = float(os.environ.get("BENCH_DUR", 2.0))
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 
 def _corpus(batch: int, n: int):
@@ -146,6 +146,9 @@ def main() -> None:
     ratio = value / base if base else 0.0
     emit("world_analysis_synthesis_throughput", value,
          "audio_seconds/s/chip", ratio)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        return
 
     # ---------------- secondary metrics (best-effort) ----------------
     try:

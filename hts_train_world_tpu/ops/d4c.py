@@ -42,7 +42,10 @@ def _windowed_waveform(x, L: int, fs: int, f0i, pos, window_type: str,
     padding replicates x[0]/x[-1], exactly the clip-gather semantics) is
     given, the window is one contiguous dynamic_slice instead of a
     per-element gather — ~2x cheaper on TPU."""
-    h = prims.matlab_round_i(ratio * fs / f0i / 2.0)
+    # fast-mode trims pass max_len < fft size; clamp h there (only f0
+    # below the WORLD floor would exceed it — out of contract)
+    h = jnp.minimum(prims.matlab_round_i(ratio * fs / f0i / 2.0),
+                    (max_len - 1) // 2)
     j = jnp.arange(max_len)
     valid = j <= 2 * h
     base_index = j - h
@@ -66,11 +69,12 @@ def _windowed_waveform(x, L: int, fs: int, f0i, pos, window_type: str,
 
 
 def _love_train(x, fs: int, f0, temporal_positions, noise_lt,
-                xp=None, pad: int = 0):
+                xp=None, pad: int = 0, wl: int = 0):
     """D4CLoveTrain (d4c.cpp:258-282) -> aperiodicity0 per frame."""
     dtype = x.dtype
     L = x.shape[0]
     n = cfg.d4c_love_train_fft_size(fs)
+    wl = wl or n
     b0 = int(-(-100.0 * n // fs))   # ceil
     b1 = int(-(-4000.0 * n // fs))
     b2 = int(-(-7900.0 * n // fs))
@@ -80,11 +84,11 @@ def _love_train(x, fs: int, f0, temporal_positions, noise_lt,
     def frame(f0i, pos, noise):
         lf0 = jnp.maximum(f0i, 40.0)
         wave, _ = _windowed_waveform(x, L, fs, lf0, pos, "blackman", 3.0,
-                                     noise, n, dtype, xp, pad)
+                                     noise, wl, dtype, xp, pad)
         if use_matmul:
             p = fftmat.rfft_power_matmul(wave, n)
         else:
-            spec = jnp.fft.rfft(wave)
+            spec = jnp.fft.rfft(wave, n)
             p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         k = jnp.arange(n // 2 + 1)
         p = jnp.where(k <= b0, 0.0, p)
@@ -160,8 +164,17 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         xp = jnp.concatenate([
             jnp.full((pad,), x[0], dtype), x,
             jnp.full((pad + fft_d,), x[-1], dtype)])
+        # window-width trims: in-contract f0 (>= kFloorF0; love-train
+        # floors at 40 Hz) keeps windows far below the fft sizes, so the
+        # gather/trig width shrinks to the worst case (lane-rounded);
+        # the FFTs stay at fft_d/n_lt via implicit zero padding
+        h_body_cap = int(2.0 * fs / cfg.K_FLOOR_F0 + 1.0)
+        wl_body = min(fft_d, -(-(2 * h_body_cap + 1) // 128) * 128)
+        h_lt_cap = int(1.5 * fs / 40.0 + 1.0)
+        wl_lt = min(n_lt, -(-(2 * h_lt_cap + 1) // 128) * 128)
     else:
         xp, pad = None, 0
+        wl_body, wl_lt = fft_d, n_lt
 
     # ---- noise stream slicing (exact consumption order) ----
     j_b = jnp.arange(fft_d)
@@ -181,7 +194,8 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
             0.0)
         noise_lt = jnp.where((f0 == 0.0)[:, None], 0.0, noise_lt)
 
-    ap0 = _love_train(x, fs, f0, temporal_positions, noise_lt, xp, pad)
+    ap0 = _love_train(x, fs, f0, temporal_positions, noise_lt, xp,
+                      pad, wl_lt)
     process = (f0 != 0.0) & (ap0 > threshold)
 
     if stream is not None:
@@ -200,20 +214,22 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
     # ---- main body ----
     use_matmul_d = dtype == jnp.float32 and fft_d <= MATMUL_FFT_LIMIT
 
+    j_w = jnp.arange(wl_body)
+
     def centroid(f0i, pos, noise):
         """GetCentroid (d4c.cpp:90-119)."""
         wave, h = _windowed_waveform(x, L, fs, f0i, pos, "blackman", 4.0,
-                                     noise, fft_d, dtype, xp, pad)
+                                     noise, wl_body, dtype, xp, pad)
         # normalize over i <= 2*round(2fs/f0) (inclusive) — same 2h span
         power = jnp.sum(wave * wave)
         wave = wave / jnp.sqrt(power)
         if use_matmul_d:
             r1, i1 = fftmat.rfft_matmul(wave, fft_d)
             r2, i2 = fftmat.rfft_matmul(
-                wave * (j_b.astype(dtype) + 1.0), fft_d)
+                wave * (j_w.astype(dtype) + 1.0), fft_d)
             return r2 * r1 + i1 * i2
-        s1 = jnp.fft.rfft(wave)
-        s2 = jnp.fft.rfft(wave * (j_b.astype(dtype) + 1.0))
+        s1 = jnp.fft.rfft(wave, fft_d)
+        s2 = jnp.fft.rfft(wave * (j_w.astype(dtype) + 1.0), fft_d)
         return jnp.real(s2) * jnp.real(s1) + jnp.imag(s1) * jnp.imag(s2)
 
     def frame(f0i, pos, nc1, nc2, nsp):
@@ -221,11 +237,11 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         c2 = centroid(f0i, pos + 0.25 / f0i, nc2)
         sc = prims.dc_correction(c1 + c2, f0i, fs, fft_d, ul_max)
         wave, _ = _windowed_waveform(x, L, fs, f0i, pos, "hanning", 4.0,
-                                     nsp, fft_d, dtype, xp, pad)
+                                     nsp, wl_body, dtype, xp, pad)
         if use_matmul_d:
             sps = fftmat.rfft_power_matmul(wave, fft_d)
         else:
-            spec = jnp.fft.rfft(wave)
+            spec = jnp.fft.rfft(wave, fft_d)
             sps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         sps = prims.dc_correction(sps, f0i, fs, fft_d, ul_max)
         sps = prims.linear_smoothing(sps, f0i, fs, fft_d, b_max)

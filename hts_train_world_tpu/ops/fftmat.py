@@ -57,9 +57,11 @@ def rfft_mats(N: int, dtype=jnp.float32):
 
 
 def rfft_matmul(x, N: int):
-    """x (..., N) -> (Re, Im) each (..., N/2+1)."""
+    """x (..., L) with L <= N (zero-padding implied) -> (Re, Im) each
+    (..., N/2+1)."""
     C, S = rfft_mats(N, x.dtype)
-    return mm(x, C), mm(x, S)
+    L = x.shape[-1]
+    return mm(x, C[:L]), mm(x, S[:L])
 
 
 @functools.lru_cache(maxsize=None)
