@@ -31,6 +31,19 @@ DUR = float(os.environ.get("BENCH_DUR", 2.0))
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
+# Pinned per-lane baselines (round-4 artifact values, BENCH_r04.json /
+# ROUND4.md) so vs_baseline is meaningful and regressions >10% WARN
+# loudly instead of sailing through.  Lanes whose definition changed
+# this round are pinned to their first r5 measurement (comment says so).
+PINS = {
+    "world_analysis_synthesis_throughput": 38.36,   # BENCH_r04
+    "feature_pipeline_throughput": 52.13,           # BENCH_r04
+    "harvest_analysis_throughput": 9.32,            # first recorded r5 (lane crashed in r4)
+    "corpus500_analysis_throughput": 16.78,         # re-pinned r5: lane moved 16 kHz sines -> 48 kHz vibrato corpus
+    "corpus500_harvest_throughput": 10.85,          # new lane r5
+    "hsmm_em_throughput": 17727.0,                  # BENCH_r04 (r3's 24215 was a different, pre-bugfix EM loop shape)
+}
+
 
 def _corpus(batch: int, n: int):
     rng = np.random.default_rng(0)
@@ -125,10 +138,23 @@ def main() -> None:
             x, FS, 5.0, N, 0.0, yl, nz))(xs, noise)[3]
         return jnp.sum(y * y, axis=1)  # (B,) fetch forces every lane
 
-    def emit(metric, value, unit, ratio=0.0):
+    def emit(metric, value, unit, ratio=None):
+        pin = PINS.get(metric)
+        if ratio is None:
+            ratio = value / pin if pin else 0.0
         print(json.dumps({"metric": metric, "value": round(value, 2),
                           "unit": unit, "vs_baseline": round(ratio, 2)}),
               flush=True)
+        if pin and value < 0.9 * pin:
+            print(f"WARN: {metric} = {value:.2f} is "
+                  f"{100 * (1 - value / pin):.0f}% below its pinned "
+                  f"baseline {pin}", file=sys.stderr, flush=True)
+
+    def emit_failure(metric, err):
+        print(f"{metric} bench FAILED: {err!r}", file=sys.stderr, flush=True)
+        print(json.dumps({"metric": metric, "value": 0.0,
+                          "unit": "FAILED", "vs_baseline": 0.0,
+                          "error": repr(err)[:200]}), flush=True)
 
     # ---------------- headline metric (measured first) ----------------
     np.asarray(run(0))  # compile + warm
@@ -180,48 +206,58 @@ def main() -> None:
         emit("feature_pipeline_throughput", BATCH * DUR / dt,
              "audio_seconds/s/chip")
     except Exception as e:  # pragma: no cover
-        print(f"feature_pipeline bench failed: {e!r}", file=sys.stderr)
+        emit_failure("feature_pipeline_throughput", e)
 
     try:
-        # full batched analysis with the device Harvest F0 stack
+        # Full batched analysis with the device Harvest F0 stack.
+        # Run EAGERLY: batch_analyze's two stages are jitted internally
+        # and its candidate-width dispatch does one host scalar sync
+        # between them, which an enclosing jit must not swallow
+        # (BENCH_r04's ConcretizationTypeError lesson).  The corpus is
+        # built on device by a jitted helper; timing fetches results.
         HB = 4
+        corpus_j = jax.jit(corpus)
 
-        @jax.jit
         def harvest_run(seed):
-            xs, _ = corpus(seed)
+            xs, _ = corpus_j(seed)
             _, f0, sp, _ = batch_mod.batch_analyze(
                 xs[:HB], FS, algorithm="harvest")
-            return jnp.sum(f0, axis=1) + jnp.sum(sp[:, ::64, ::64],
-                                                 axis=(1, 2))
+            return np.asarray(jnp.sum(f0, axis=1)
+                              + jnp.sum(sp[:, ::64, ::64], axis=(1, 2)))
 
-        np.asarray(harvest_run(0))
+        harvest_run(0)  # compile + warm (both width buckets may compile)
         t0 = time.perf_counter()
         for s in range(1, ITERS + 1):
-            np.asarray(harvest_run(s))
+            harvest_run(s)
         dt = (time.perf_counter() - t0) / ITERS
         emit("harvest_analysis_throughput", HB * DUR / dt,
              "audio_seconds/s/chip")
     except Exception as e:  # pragma: no cover
-        print(f"harvest bench failed: {e!r}", file=sys.stderr)
+        emit_failure("harvest_analysis_throughput", e)
 
+    # BASELINE config 4 at 1 chip: a 500-utterance mixed-length corpus
+    # through the full host+device path (C++ prefetch loader -> length
+    # bucketing -> batched analysis).  Since r5 the corpus matches the
+    # reference anchor: 48 kHz singing-like audio (vibrato F0 +
+    # harmonics, configure.ac:447-456), measured with BOTH F0 stacks.
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="bench_corpus500_")
     try:
-        # BASELINE config 4 at 1 chip: a 500-utterance mixed-length corpus
-        # through the full host+device path (C++ prefetch loader ->
-        # length bucketing -> batched analysis)
-        import tempfile
         from scipy.io import wavfile
         from hts_train_world_tpu.io import loader
         from hts_train_world_tpu.parallel import bucketing
-        cfs = 16000
+        cfs = 48000
         rng = np.random.default_rng(7)
-        d = tempfile.mkdtemp(prefix="bench_corpus500_")
         paths, audio_s = [], 0.0
         for i in range(500):
-            n = int(cfs * (1.0 + 1.5 * rng.random()))
+            n = int(cfs * (0.6 + 1.0 * rng.random()))
             tt = np.arange(n) / cfs
-            f0 = 140.0 + 120.0 * rng.random()
-            xw = sum(a * np.sin(2 * np.pi * f0 * (h + 1) * tt)
-                     for h, a in enumerate([0.5, 0.3, 0.15]))
+            f0 = (140.0 + 120.0 * rng.random()) \
+                * (1.0 + 0.02 * np.sin(2 * np.pi * 5.5 * tt))  # vibrato
+            ph = 2 * np.pi * np.cumsum(f0) / cfs
+            xw = sum(a * np.sin((h + 1) * ph)
+                     for h, a in enumerate([0.5, 0.3, 0.15, 0.08]))
             xw = 0.7 * xw / np.abs(xw).max() \
                 + 0.005 * rng.standard_normal(n)
             p = os.path.join(d, f"u{i:03d}.wav")
@@ -229,19 +265,26 @@ def main() -> None:
             paths.append(p)
             audio_s += n / cfs
 
-        def corpus_run():
+        def corpus_run(algorithm):
             sigs = loader.load_corpus(paths, loader.WAV, n_threads=8)
-            res = bucketing.bucketed_analyze(sigs, cfs, max_batch=16)
+            res = bucketing.bucketed_analyze(sigs, cfs, max_batch=16,
+                                             algorithm=algorithm)
             return float(sum(np.sum(r[1][:4]) for r in res))
 
-        corpus_run()  # compile all bucket shapes
-        t0 = time.perf_counter()
-        corpus_run()
-        dt = time.perf_counter() - t0
-        emit("corpus500_analysis_throughput", audio_s / dt,
-             "audio_seconds/s/chip")
+        for alg, metric in (("dio", "corpus500_analysis_throughput"),
+                            ("harvest", "corpus500_harvest_throughput")):
+            try:
+                corpus_run(alg)  # compile all bucket shapes
+                t0 = time.perf_counter()
+                corpus_run(alg)
+                dt = time.perf_counter() - t0
+                emit(metric, audio_s / dt, "audio_seconds/s/chip")
+            except Exception as e:  # pragma: no cover
+                emit_failure(metric, e)
     except Exception as e:  # pragma: no cover
-        print(f"corpus bench failed: {e!r}", file=sys.stderr)
+        emit_failure("corpus500_analysis_throughput", e)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
     try:
         from hts_train_world_tpu.models import hsmm, hsmm_batch
@@ -271,7 +314,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         emit("hsmm_em_throughput", n_frames / dt, "frames/s/chip")
     except Exception as e:  # pragma: no cover
-        print(f"hsmm_em bench failed: {e!r}", file=sys.stderr)
+        emit_failure("hsmm_em_throughput", e)
 
     # headline re-printed LAST: the driver parses the final JSON line
     emit("world_analysis_synthesis_throughput", value,

@@ -133,14 +133,18 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
     return jnp.stack(out)
 
 
-@partial(jax.jit, static_argnames=("fs", "fft_size", "threshold"))
+@partial(jax.jit,
+         static_argnames=("fs", "fft_size", "threshold", "f0_floor"))
 def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
-        threshold: float = cfg.K_THRESHOLD, stream=None):
+        threshold: float = cfg.K_THRESHOLD, stream=None,
+        f0_floor: float = cfg.K_FLOOR_F0):
     """D4C (d4c.cpp:337-397) -> aperiodicity (T, fft_size/2+1).
 
     fft_size is the OUTPUT (CheapTrick) fft size; internal analysis uses
     the D4C sizes.  `stream` is the reseeded randn stream (None -> no
-    noise, fast mode).
+    noise, fast mode).  `f0_floor` is the F0 estimator's floor — it only
+    sizes the fast-mode window trim (voiced frames carry f0 >= f0_floor;
+    the body itself clamps at kFloorF0D4C=47 Hz like d4c.cpp:381).
     """
     dtype = x.dtype
     L = x.shape[0]
@@ -164,11 +168,13 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         xp = jnp.concatenate([
             jnp.full((pad,), x[0], dtype), x,
             jnp.full((pad + fft_d,), x[-1], dtype)])
-        # window-width trims: in-contract f0 (>= kFloorF0; love-train
-        # floors at 40 Hz) keeps windows far below the fft sizes, so the
-        # gather/trig width shrinks to the worst case (lane-rounded);
-        # the FFTs stay at fft_d/n_lt via implicit zero padding
-        h_body_cap = int(2.0 * fs / cfg.K_FLOOR_F0 + 1.0)
+        # window-width trims: processed frames carry f0 >= f0_floor and
+        # the body clamps f0 at kFloorF0D4C, so the effective per-frame
+        # f0 is >= max(f0_floor, 47 Hz) and the gather/trig width shrinks
+        # to that worst case (lane-rounded); the FFTs stay at fft_d/n_lt
+        # via implicit zero padding.  Love-train floors at 40 Hz always.
+        eff_floor = max(float(f0_floor), cfg.K_FLOOR_F0_D4C)
+        h_body_cap = int(2.0 * fs / eff_floor + 1.0)
         wl_body = min(fft_d, -(-(2 * h_body_cap + 1) // 128) * 128)
         h_lt_cap = int(1.5 * fs / 40.0 + 1.0)
         wl_lt = min(n_lt, -(-(2 * h_lt_cap + 1) // 128) * 128)

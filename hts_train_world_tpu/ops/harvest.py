@@ -1,18 +1,28 @@
 """Harvest F0 estimation — TPU-native reimplementation of
 externs/WORLD_v2/src/harvest.cpp (SURVEY.md N6; the hardest port).
 
-Split by compute character:
-- heavy DSP on device (jit): decimation to ~8 kHz, the 152-channel
-  band-pass filtering + zero-crossing candidate extraction (vmapped over
-  channels with masked variable-length Nuttall windows), and the
-  instantaneous-frequency candidate refinement (bucketed by FFT size,
-  flattened over valid (frame, candidate) pairs);
-- the serial, branchy contour logic on host in numpy, transcribed
-  faithfully from the reference: candidate consolidation
-  (DetectOfficialF0Candidates, harvest.cpp:348-412), overlap spreading
-  (:417-429), neighbour-consistency pruning (:652-688), the four fix
-  steps incl. the Extend/Merge section machinery (:693-1044) and the
-  zero-lag Butterworth smoothing (:1049-1113).
+Since round 4 the ENTIRE pipeline runs on device by default
+(harvest(contour="device")): decimation to ~8 kHz, the 152-channel
+band-pass filtering + zero-crossing candidate extraction (one MXU
+convolution over a shared kernel bank), candidate consolidation /
+overlap spreading / IF refinement / neighbour pruning, the four fix
+steps incl. Extend/Merge (masked scans in ops/harvest_fix.py) and the
+zero-lag Butterworth smoothing.  A faithful serial numpy transcription
+of the contour logic (DetectOfficialF0Candidates harvest.cpp:348-412,
+OverlapF0Candidates :417-429, RemoveUnreliableCandidates :652-688,
+FixStep1-4/Extend/Merge :693-1044, SmoothF0Contour :1049-1113) is kept
+in this file as the test oracle (contour="host").
+
+Dispatch contract: `harvest`/`harvest_f0_batch` run TWO jitted stages
+with ONE host scalar fetch in between (the true candidate count picks a
+bucketed refine width; columns beyond 7*nc are all zero so slicing is
+exact).  Under an enclosing jit the fetch is impossible, so the width
+falls back to the static worst case `plan["nc_pad"]` — still exact,
+just more refine work; `harvest_f0_trace` is the always-single-trace
+variant.  `max_candidates` is the reference's padding bound
+(n_ch/10*7, harvest.cpp:1179); `nc_pad` is the tighter device bound
+(a detected run needs >= 10 voiced channels, so base candidates <=
+(n_ch+1)//11).
 
 Reference quirks reproduced: always runs at 1 ms frame period and
 decimates to the target (harvest.cpp:1230-1251); ExtendSub's running
@@ -780,16 +790,36 @@ def _harvest_back_b(ys, candss, fs8: float, f0_floor: float,
         y, c, fs8, f0_floor, f0_ceil))(ys, candss)
 
 
+def _bucket_width(nc, plan) -> int:
+    """Candidate-column width for the refine stage.  `nc` is the true
+    base candidate count (host int or traced scalar).  Tracer-safe:
+    under an enclosing jit the count cannot be fetched, so fall back to
+    the static worst case (still exact, just more refine work).  Beyond
+    the largest bucket, fall back to the exact bound rather than capping
+    (custom f0 ranges can exceed 13 base candidates)."""
+    if isinstance(nc, jax.core.Tracer):
+        return plan["nc_pad"]
+    nc_v = max(int(nc), 1)
+    ncb = next((b for b in _NC_BUCKETS if b >= nc_v), None)
+    if ncb is None:
+        return plan["nc_pad"]
+    return min(OVERLAP_PARAMETER * ncb, plan["nc_pad"])
+
+
 def harvest_f0_batch(xs, fs: int, f0_floor: float = cfg.K_FLOOR_F0,
-                     f0_ceil: float = cfg.K_CEIL_F0):
+                     f0_ceil: float = cfg.K_CEIL_F0, width: int = None):
     """Batched Harvest: xs (B, L) -> f0 (B, T1) on the 1 ms grid, with
     the same two-stage width dispatch as `harvest` (the bucket follows
-    the batch MAX candidate count, so every utterance stays exact)."""
+    the batch MAX candidate count, so every utterance stays exact).
+
+    Jit-composable: under an enclosing jit the one-scalar width sync is
+    impossible, so the dispatch falls back to the worst-case width
+    (exact, slower).  Callers who know the width statically can pass
+    `width=` to keep the fast path inside jit."""
     plan = harvest_plan(int(xs.shape[1]), fs, f0_floor, f0_ceil)
     ys, cs, ncs = _harvest_front_b(xs, fs, f0_floor, f0_ceil)
-    nc_v = max(int(jnp.max(ncs)), 1)
-    ncb = next((b for b in _NC_BUCKETS if b >= nc_v), _NC_BUCKETS[-1])
-    width = min(7 * ncb, plan["nc_pad"])
+    if width is None:
+        width = _bucket_width(jnp.max(ncs), plan)
     return _harvest_back_b(ys, cs[:, :, :width], plan["actual_fs"],
                            f0_floor, f0_ceil)
 
@@ -799,12 +829,12 @@ def _harvest_core(x, fs: int, f0_floor: float, f0_ceil: float):
     candidate width, then ONE scalar fetch of the true per-frame
     candidate count picks a bucketed column width for the expensive
     refinement (pairs beyond 7*nc are all zero, so slicing is exact) —
-    3-6x less refine work on typical audio at the cost of one sync."""
+    3-6x less refine work on typical audio at the cost of one sync.
+    The sync only happens for eager callers; under jit `_bucket_width`
+    falls back to the worst-case width."""
     plan = harvest_plan(int(x.shape[0]), fs, f0_floor, f0_ceil)
     y, cands, nc = _harvest_front(x, fs, f0_floor, f0_ceil)
-    nc_v = max(int(nc), 1)
-    ncb = next((b for b in _NC_BUCKETS if b >= nc_v), _NC_BUCKETS[-1])
-    width = min(7 * ncb, plan["nc_pad"])
+    width = _bucket_width(nc, plan)
     return _harvest_back(y, cands[:, :width], plan["actual_fs"],
                          f0_floor, f0_ceil)
 

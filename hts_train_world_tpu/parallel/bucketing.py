@@ -49,7 +49,7 @@ def plan_buckets(lengths: Sequence[int], growth: float = 1.26,
 def bucketed_analyze(signals: Sequence[np.ndarray], fs: int,
                      frame_period: float = 5.0, d4c_threshold: float = 0.0,
                      growth: float = 1.26, max_batch: int = 16,
-                     dtype=jnp.float32) -> List[Tuple]:
+                     dtype=jnp.float32, algorithm: str = "dio") -> List[Tuple]:
     """Analyze a heterogeneous corpus with one compile per bucket shape.
 
     signals: list of 1-D float arrays (any lengths).  Returns a list of
@@ -68,7 +68,8 @@ def bucketed_analyze(signals: Sequence[np.ndarray], fs: int,
             for r, i in enumerate(grp):
                 xs[r, :lengths[i]] = signals[i]
             t, f0, sp, ap = batch_mod.batch_analyze(
-                jnp.asarray(xs, dtype), fs, frame_period, d4c_threshold)
+                jnp.asarray(xs, dtype), fs, frame_period, d4c_threshold,
+                algorithm=algorithm)
             t, f0, sp, ap = (np.asarray(a) for a in (t, f0, sp, ap))
             for r, i in enumerate(grp):
                 T = cfg.samples_for_dio(fs, lengths[i], frame_period)

@@ -50,10 +50,13 @@ def estimate_f0(x, fs: int, frame_period: float = 5.0,
 
 def analyze(x, fs: int, frame_period: float = 5.0, q1: float = -0.15,
             d4c_threshold: float = 0.0, parity: bool = True,
-            fft_size: int = 0, algorithm: str = "dio") -> WorldAnalysis:
+            fft_size: int = 0, algorithm: str = "dio",
+            f0_floor: float = cfg.K_FLOOR_F0,
+            f0_ceil: float = cfg.K_CEIL_F0) -> WorldAnalysis:
     x = jnp.asarray(x)
     N = fft_size or cfg.cheaptrick_fft_size(fs)
-    t, f0 = estimate_f0(x, fs, frame_period, algorithm=algorithm)
+    t, f0 = estimate_f0(x, fs, frame_period, f0_floor, f0_ceil,
+                        algorithm=algorithm)
     f0 = jnp.asarray(f0)
     t = jnp.asarray(t, x.dtype)
     T = int(f0.shape[0])
@@ -66,7 +69,8 @@ def analyze(x, fs: int, frame_period: float = 5.0, q1: float = -0.15,
     else:
         nw = ns = d4c_stream = None
     sp = ct.cheaptrick(x, fs, t, f0, N, q1, nw, ns)
-    ap, _ = d4c_mod.d4c(x, fs, t, f0, N, d4c_threshold, d4c_stream)
+    ap, _ = d4c_mod.d4c(x, fs, t, f0, N, d4c_threshold, d4c_stream,
+                        f0_floor=f0_floor)
     return WorldAnalysis(t, f0, sp, ap, fs, N, frame_period)
 
 

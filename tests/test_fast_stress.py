@@ -104,3 +104,31 @@ def test_fast_synthesis_stress():
     assert np.isfinite(yv).all()
     assert np.abs(yv).max() < 4.0  # no blowup from the clipped envelope
     assert np.abs(yv).max() > 0.05
+
+
+def test_d4c_fast_trim_covers_low_f0():
+    """ADVICE r4: the fast-mode window trim must cover every f0 the D4C
+    body can clamp to (>= max(f0_floor, 47 Hz)), not just the Harvest
+    floor.  At 48 kHz an ~50 Hz track with f0_floor=50 trims to a
+    narrower window than f0_floor=47 (no trim); both must be identical
+    because the 50 Hz windows fit either width."""
+    import jax.numpy as jnp
+    from hts_train_world_tpu import config as cfg
+    from hts_train_world_tpu.ops import d4c as d4c_mod
+
+    fs = 48000
+    L = int(fs * 0.25)
+    t = np.arange(L) / fs
+    ph = np.cumsum(2 * np.pi * np.full(L, 52.0) / fs)
+    x = (0.7 * np.sin(ph) + 0.2 * np.sin(2 * ph)).astype(np.float32)
+    T = cfg.samples_for_dio(fs, L, 5.0)
+    tp = jnp.asarray(np.arange(T) * 0.005, jnp.float32)
+    f0 = jnp.full((T,), 52.0, jnp.float32)
+    N = cfg.cheaptrick_fft_size(fs)
+    xj = jnp.asarray(x)
+    ap_trim, _ = d4c_mod.d4c(xj, fs, tp, f0, N, 0.0, None, f0_floor=50.0)
+    ap_full, _ = d4c_mod.d4c(xj, fs, tp, f0, N, 0.0, None, f0_floor=47.0)
+    # tolerance = f32 matmul-DFT reduction-order noise (the widths give
+    # different contraction lengths); the pre-fix truncation erred ~0.7
+    np.testing.assert_allclose(np.asarray(ap_trim), np.asarray(ap_full),
+                               rtol=0, atol=1e-3)

@@ -127,3 +127,37 @@ def test_batch_analyze_harvest_lane():
         rel = np.abs(np.asarray(f0[i])[both] - np.asarray(ref)[both]) \
             / np.asarray(ref)[both]
         assert np.median(rel) < 1e-3
+
+
+def test_batch_analyze_harvest_jit_composable():
+    """Regression for BENCH_r04: harvest_f0_batch inside an enclosing
+    jit must fall back to the worst-case candidate width (no host sync)
+    and produce EXACTLY the eager two-stage result."""
+    import jax
+    from hts_train_world_tpu.parallel import batch as batch_mod
+    fs, L, B = 16000, 8000, 2
+    t = np.arange(L) / fs
+    rng = np.random.default_rng(3)
+    xs = np.stack([
+        0.5 * np.sin(2 * np.pi * (160 + 25 * i) * t)
+        + 0.01 * rng.standard_normal(L) for i in range(B)
+    ]).astype(np.float32)
+
+    _, f0_eager, _, _ = batch_mod.batch_analyze(jnp.asarray(xs), fs,
+                                                algorithm="harvest")
+
+    @jax.jit
+    def run(x):
+        return batch_mod.batch_analyze(x, fs, algorithm="harvest")[1]
+
+    f0_jit = run(jnp.asarray(xs))
+    np.testing.assert_array_equal(np.asarray(f0_jit), np.asarray(f0_eager))
+
+
+def test_bucket_width_fallback_exact_bound():
+    """_NC_BUCKETS overflow must fall back to the exact nc_pad bound,
+    not silently cap at the largest bucket (ADVICE r4)."""
+    plan = {"nc_pad": 7 * 30}
+    assert hv._bucket_width(20, plan) == plan["nc_pad"]   # > max bucket
+    assert hv._bucket_width(5, plan) == 7 * 6             # bucket 6
+    assert hv._bucket_width(0, plan) == 7 * 1             # floor at 1
