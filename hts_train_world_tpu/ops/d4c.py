@@ -68,6 +68,57 @@ def _windowed_waveform(x, L: int, fs: int, f0i, pos, window_type: str,
     return jnp.where(valid, wave - w * coef, 0.0), h
 
 
+def _slab_frames(x, T: int, step: int, pad: int, width: int, dtype):
+    """Regular frame slabs WITHOUT gathers: slab[f, m] = x_edgepad[f*step
+    + m], built from ceil(width/step) STATIC slices of the frame-reshaped
+    signal (slab[f, q*step + r] = F[f + q, r]).  The per-frame windows
+    then float inside their slab row via elementwise masks — the whole
+    windowed-waveform construction (d4c.cpp:52-84) becomes data
+    movement XLA handles at full speed instead of 13M-element gathers
+    (measured 135 ms -> ~0 for the bench batch)."""
+    L = x.shape[0]
+    n_q = -(-width // step)
+    rows = T + n_q
+    need = rows * step
+    right = max(0, need - pad - L)
+    xp2 = jnp.concatenate([
+        jnp.full((pad,), x[0], dtype), x,
+        jnp.full((right,), x[-1], dtype)])[:need]
+    F = xp2.reshape(rows, step)
+    slab = jnp.concatenate([F[q:q + T] for q in range(n_q)], axis=1)
+    return slab[:, :width]
+
+
+def _slab_window(slab_row, fs: int, f0i, s, window_type: str,
+                 ratio: float, pad: int, width: int, dtype,
+                 h_cap: int = 0):
+    """GetWindowedWaveform on a slab row: the window of half-length
+    h = round(ratio*fs/f0/2) sits at offset d = pad + s - h (s = the
+    frame's rounded sample shift from its regular grid position).  All
+    elementwise; the spectra downstream are offset-invariant (power /
+    same-offset cross-products), so the floating offset needs no phase
+    correction.  Returns (wave, ramp) with ramp = original window index
+    + 1 (for the centroid's weighted transform)."""
+    h = prims.matlab_round_i(ratio * fs / f0i / 2.0)
+    if h_cap:
+        h = jnp.minimum(h, h_cap)  # out-of-contract f0 trims (d4c fast)
+    m = jnp.arange(width)
+    c = pad + s                    # window center offset in the slab
+    d = c - h
+    valid = (m >= d) & (m <= d + 2 * h)
+    position = (2.0 * (m - c).astype(dtype) / ratio) / fs
+    if window_type == "hanning":
+        w = 0.5 * jnp.cos(jnp.pi * position * f0i) + 0.5
+    else:  # blackman
+        w = (0.42 + 0.5 * jnp.cos(jnp.pi * position * f0i)
+             + 0.08 * jnp.cos(jnp.pi * position * f0i * 2.0))
+    w = jnp.where(valid, w, 0.0)
+    wave = jnp.where(valid, slab_row * w, 0.0)
+    coef = jnp.sum(wave) / jnp.sum(w)
+    wave = jnp.where(valid, wave - w * coef, 0.0)
+    return wave, (m - d + 1).astype(dtype)
+
+
 def _love_train(x, fs: int, f0, temporal_positions, noise_lt,
                 xp=None, pad: int = 0, wl: int = 0):
     """D4CLoveTrain (d4c.cpp:258-282) -> aperiodicity0 per frame."""
@@ -99,6 +150,28 @@ def _love_train(x, fs: int, f0, temporal_positions, noise_lt,
     return jnp.where(f0 == 0.0, 0.0, ap0)
 
 
+def _love_train_slab(slab, fs: int, f0, s_lt, pad_lt: int, wl2: int,
+                     h_cap: int, dtype):
+    """D4CLoveTrain on slab rows (fast mode, no reference noise)."""
+    n = cfg.d4c_love_train_fft_size(fs)
+    b0 = int(-(-100.0 * n // fs))
+    b1 = int(-(-4000.0 * n // fs))
+    b2 = int(-(-7900.0 * n // fs))
+
+    def frame(row, f0i, si):
+        lf0 = jnp.maximum(f0i, 40.0)
+        wave, _ = _slab_window(row, fs, lf0, si, "blackman", 3.0,
+                               pad_lt, wl2, dtype, h_cap)
+        p = fftmat.rfft_power_matmul(wave, n)
+        k = jnp.arange(n // 2 + 1)
+        p = jnp.where(k <= b0, 0.0, p)
+        c = jnp.cumsum(jnp.where(k <= b2, p, 0.0))
+        return c[b1] / jnp.maximum(c[b2], prims.tiny_floor(dtype))
+
+    ap0 = jax.vmap(frame)(slab, f0, s_lt)
+    return jnp.where(f0 == 0.0, 0.0, ap0)
+
+
 def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
                          window_length: int):
     """GetCoarseAperiodicity (d4c.cpp:192-223) for one frame."""
@@ -121,11 +194,10 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
             num = c[half - boundary - 1]
             den = c[half]
         else:
-            # fast path: cum[half-b-1] = total - sum(top (b+1)); top_k is
-            # far cheaper than a full TPU sort (reassociates the sum only)
+            # fast path: cum[half-b-1] = total - sum(top (b+1)); the
+            # bit-search top-k sum is exact and ~3x cheaper than top_k
             den = jnp.sum(p)
-            topk, _ = jax.lax.top_k(p, boundary + 1)
-            num = den - jnp.sum(topk)
+            num = den - prims.sum_top_k(p, boundary + 1)
         out.append(10.0 * jnp.log10(jnp.maximum(num, tiny)
                                     / jnp.maximum(den, tiny)))
     if not out:  # fs <= 12 kHz: zero coarse bands (d4c.cpp:212-215 floor)
@@ -134,10 +206,11 @@ def _coarse_aperiodicity(sgd, fs: int, fft_d: int, n_ap: int, window,
 
 
 @partial(jax.jit,
-         static_argnames=("fs", "fft_size", "threshold", "f0_floor"))
+         static_argnames=("fs", "fft_size", "threshold", "f0_floor",
+                          "grid_step"))
 def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         threshold: float = cfg.K_THRESHOLD, stream=None,
-        f0_floor: float = cfg.K_FLOOR_F0):
+        f0_floor: float = cfg.K_FLOOR_F0, grid_step: int = 0):
     """D4C (d4c.cpp:337-397) -> aperiodicity (T, fft_size/2+1).
 
     fft_size is the OUTPUT (CheapTrick) fft size; internal analysis uses
@@ -145,6 +218,13 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
     noise, fast mode).  `f0_floor` is the F0 estimator's floor — it only
     sizes the fast-mode window trim (voiced frames carry f0 >= f0_floor;
     the body itself clamps at kFloorF0D4C=47 Hz like d4c.cpp:381).
+
+    grid_step > 0 (fast mode only) promises temporal_positions sit on
+    the regular frame grid (round(t[f]*fs + 0.001) ~= f*grid_step, small
+    deviations absorbed): enables the SLAB formulation — regular frame
+    slabs from static slices, windows floating inside their row via
+    elementwise masks, spectra via offset-invariant mod-N DFT matmuls —
+    which removes every per-frame gather from the hot path.
     """
     dtype = x.dtype
     L = x.shape[0]
@@ -182,6 +262,20 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         xp, pad = None, 0
         wl_body, wl_lt = fft_d, n_lt
 
+    use_slab = fast and grid_step > 0
+    if use_slab:
+        margin = int(0.25 * fs / eff_floor) + 2   # centroid +-0.25/f0
+        pad_b = h_body_cap + margin
+        wl2_b = -(-(2 * h_body_cap + 1 + 2 * margin) // 128) * 128
+        slab_b = _slab_frames(x, T, grid_step, pad_b, wl2_b, dtype)
+        pad_lt = h_lt_cap + 2
+        wl2_lt = -(-(2 * h_lt_cap + 5) // 128) * 128
+        slab_lt = _slab_frames(x, T, grid_step, pad_lt, wl2_lt, dtype)
+        grid_base = jnp.arange(T, dtype=jnp.int32) * grid_step
+        s_reg = jnp.clip(
+            prims.matlab_round_i(temporal_positions * fs + 0.001)
+            - grid_base, -2, 2)   # grid deviation (contract: tiny)
+
     # ---- noise stream slicing (exact consumption order) ----
     j_b = jnp.arange(fft_d)
     cf0 = jnp.maximum(cfg.K_FLOOR_F0_D4C, f0)
@@ -200,8 +294,12 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
             0.0)
         noise_lt = jnp.where((f0 == 0.0)[:, None], 0.0, noise_lt)
 
-    ap0 = _love_train(x, fs, f0, temporal_positions, noise_lt, xp,
-                      pad, wl_lt)
+    if use_slab:
+        ap0 = _love_train_slab(slab_lt, fs, f0, s_reg, pad_lt, wl2_lt,
+                               h_lt_cap, dtype)
+    else:
+        ap0 = _love_train(x, fs, f0, temporal_positions, noise_lt, xp,
+                          pad, wl_lt)
     process = (f0 != 0.0) & (ap0 > threshold)
 
     if stream is not None:
@@ -261,9 +359,46 @@ def d4c(x, fs: int, temporal_positions, f0, fft_size: int,
         ca = _coarse_aperiodicity(sgd, fs, fft_d, n_ap, window, window_length)
         return jnp.minimum(0.0, ca + (f0i - 100.0) / 50.0)  # d4c.cpp:309-311
 
+    # ---- slab main body (fast mode on the regular grid): the same
+    # math with every window floating inside its regular slab row;
+    # centroid cross-products and power spectra are offset-invariant,
+    # so no per-frame phase correction is needed ----
+    def centroid_slab(row, f0i, si):
+        wave, ramp = _slab_window(row, fs, f0i, si, "blackman", 4.0,
+                                  pad_b, wl2_b, dtype, h_body_cap)
+        wave = wave / jnp.sqrt(jnp.sum(wave * wave))
+        r1, i1 = fftmat.rfft_matmul(wave, fft_d)
+        r2, i2 = fftmat.rfft_matmul(wave * ramp, fft_d)
+        return r2 * r1 + i1 * i2
+
+    def frame_slab(row, f0i, pos, s0, base):
+        sm = prims.matlab_round_i((pos - 0.25 / f0i) * fs + 0.001) - base
+        sp_ = prims.matlab_round_i((pos + 0.25 / f0i) * fs + 0.001) - base
+        mx = pad_b - h_body_cap   # = margin; defensive for bad f0
+        c1 = centroid_slab(row, f0i, jnp.clip(sm, -mx, mx))
+        c2 = centroid_slab(row, f0i, jnp.clip(sp_, -mx, mx))
+        sc = prims.dc_correction(c1 + c2, f0i, fs, fft_d, ul_max)
+        wave, _ = _slab_window(row, fs, f0i, s0, "hanning", 4.0,
+                               pad_b, wl2_b, dtype, h_body_cap)
+        sps = fftmat.rfft_power_matmul(wave, fft_d)
+        sps = prims.dc_correction(sps, f0i, fs, fft_d, ul_max)
+        sps = prims.linear_smoothing(sps, f0i, fs, fft_d, b_max)
+        sgd = sc / sps
+        sgd = jnp.where(jnp.isfinite(sgd), sgd, 0.0)
+        sgd = prims.linear_smoothing(sgd, f0i / 2.0, fs, fft_d, b_max)
+        sgd = sgd - prims.linear_smoothing(sgd, f0i, fs, fft_d, b_max)
+        ca = _coarse_aperiodicity(sgd, fs, fft_d, n_ap, window,
+                                  window_length)
+        return jnp.minimum(0.0, ca + (f0i - 100.0) / 50.0)
+
     cf0_safe = jnp.where(process, cf0, 100.0)
-    coarse = jax.vmap(frame)(cf0_safe, temporal_positions, noise_c1,
-                             noise_c2, noise_sp)
+    if use_slab:
+        coarse = jax.vmap(frame_slab)(slab_b, cf0_safe,
+                                      temporal_positions, s_reg,
+                                      grid_base)
+    else:
+        coarse = jax.vmap(frame)(cf0_safe, temporal_positions, noise_c1,
+                                 noise_c2, noise_sp)
 
     # coarse -> full spectrum (GetAperiodicity, d4c.cpp:325-333)
     coarse_axis = jnp.concatenate([

@@ -56,12 +56,31 @@ def rfft_mats(N: int, dtype=jnp.float32):
     return jnp.asarray(C, dtype), jnp.asarray(S, dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _rfft_mats_ext_np(N: int, L: int):
+    """DFT-N basis periodically extended to L > N time rows:
+    sum_m x_m e^{-2pi i k m / N} — the exact mod-N DFT of a sequence
+    laid out at an arbitrary offset (used by the slab formulations
+    where the window floats inside a wider regular frame)."""
+    k = np.arange(N // 2 + 1)
+    m = np.arange(L)
+    ang = -2.0 * np.pi * np.outer(m, k) / N
+    return np.cos(ang), np.sin(ang)
+
+
 def rfft_matmul(x, N: int):
-    """x (..., L) with L <= N (zero-padding implied) -> (Re, Im) each
-    (..., N/2+1)."""
-    C, S = rfft_mats(N, x.dtype)
+    """x (..., L) -> (Re, Im) each (..., N/2+1).  L <= N means implied
+    zero padding; L > N means periodic (mod-N) time indexing — the
+    result is the true DFT times a unit phase e^{-2pi i k d/N} when the
+    content sits at offset d, so power spectra and cross-products of
+    same-offset transforms are exact."""
     L = x.shape[-1]
-    return mm(x, C[:L]), mm(x, S[:L])
+    if L <= N:
+        C, S = rfft_mats(N, x.dtype)
+        return mm(x, C[:L]), mm(x, S[:L])
+    C, S = _rfft_mats_ext_np(N, L)
+    return (mm(x, jnp.asarray(C, x.dtype)),
+            mm(x, jnp.asarray(S, x.dtype)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -150,10 +169,8 @@ def irfft_half_mats(N: int, dtype=jnp.float32):
 
 
 def rfft_power_matmul(x, N: int):
-    """|rfft(x, N)|^2 via matmuls; x (..., L) with L <= N zero-padding
-    semantics (the operator rows are sliced to L)."""
-    L = x.shape[-1]
-    C, S = rfft_mats(N, x.dtype)
-    re = mm(x, C[:L])
-    im = mm(x, S[:L])
+    """|rfft(x, N)|^2 via matmuls; x (..., L).  L <= N = zero-padding
+    semantics; L > N = mod-N indexing (power is offset-invariant, see
+    rfft_matmul)."""
+    re, im = rfft_matmul(x, N)
     return re * re + im * im

@@ -333,6 +333,32 @@ def nuttall_window_masked(max_len: int, length, dtype=jnp.float64):
 # ---------------------------------------------------------------------------
 
 
+def sum_top_k(p, k: int):
+    """EXACT sum of the k largest entries of a non-negative f32 array
+    (last axis), via binary search on the int32 bit pattern (monotone
+    for non-negative floats) + a masked sum with tie correction — ~3x
+    faster than jax.lax.top_k on TPU at D4C's shapes (no sorting
+    network, just 32 masked reductions).  Ties share one exact float
+    value, so (k - count_gt) * tie_value is exact."""
+    b = jax.lax.bitcast_convert_type(p, jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = lo + (hi - lo) // 2
+        gt = jnp.sum(b > mid[..., None], axis=-1) >= k
+        return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
+
+    lo = jnp.full(p.shape[:-1], -1, jnp.int32)      # zeros count as > lo
+    hi = jnp.full(p.shape[:-1], jnp.int32(0x7f7fffff))
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    thr = hi[..., None]
+    gt_mask = b > thr
+    n_gt = jnp.sum(gt_mask, axis=-1)
+    s_gt = jnp.sum(jnp.where(gt_mask, p, 0.0), axis=-1)
+    tie = jax.lax.bitcast_convert_type(hi, jnp.float32)
+    return s_gt + (k - n_gt).astype(p.dtype) * tie
+
+
 def dc_correction(ps, f0, fs: int, fft_size: int, ul_max: int):
     """common.cpp:56-75 — mirror sub-F0 power back below F0.
 
@@ -341,8 +367,24 @@ def dc_correction(ps, f0, fs: int, fft_size: int, ul_max: int):
     """
     dtype = ps.dtype
     half = fft_size // 2
-    upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)
     i = jnp.arange(ul_max)
+    if dtype == jnp.float32 and ps.ndim == 1:
+        # fast path: the tap positions pos_i = f0*N/fs - i DESCEND by
+        # exactly one bin per tap with a CONSTANT fraction, so the two
+        # interp1Q gathers are one reversed contiguous slice; taps with
+        # pos < 0 fall outside the used range (i <= int(f0*N/fs)) and
+        # are masked, so the floor/trunc divergence there is irrelevant
+        c = f0 * fft_size / fs
+        ic = jnp.trunc(c).astype(jnp.int32)
+        frac = c - jnp.trunc(c)
+        psp = jnp.concatenate([jnp.full((ul_max,), ps[0], dtype), ps])
+        s = jax.lax.dynamic_slice(psp, (ic,), (ul_max + 2,))
+        y0 = jnp.flip(s[1:ul_max + 1])
+        y1 = jnp.flip(s[2:ul_max + 2])
+        replica = y0 + (y1 - y0) * frac
+        add = jnp.where(i <= ic, replica, jnp.zeros((), dtype))
+        return ps.at[..., :ul_max].add(add)
+    upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)
     pos = f0 * fft_size / fs - i.astype(dtype)
     base = jnp.trunc(pos).astype(jnp.int32)
     basec = jnp.clip(base, 0, half)

@@ -41,6 +41,58 @@ def default_max_pulses(y_length: int, fs: int) -> int:
     return int(y_length * 810.0 / fs) + 80
 
 
+def _time_base(f0, frame_period: float, fs: int, y_length: int,
+               fft_size: int, exact_phase: bool):
+    """GetTimeBase (synthesis.cpp:223-320): coarse f0/vuv -> sample-rate
+    interpolation -> accumulated phase -> wrapped-phase jump mask.
+    Returns (if0, ivuv, wrap, jump)."""
+    dtype = f0.dtype
+    T = f0.shape[0]
+    fp = frame_period / 1000.0
+    lowest_f0 = fs / fft_size + 1.0
+    idxT = jnp.arange(T + 1, dtype=dtype)
+    coarse_time = idxT * fp
+    if exact_phase:
+        # keep the multiply from contracting into downstream subtracts
+        # (XLA FMA-fuses iota*const with (xi-x0), flipping ulp-sensitive
+        # V/UV threshold decisions)
+        coarse_time = jax.lax.optimization_barrier(coarse_time)
+    cf0 = jnp.where(f0 < lowest_f0, 0.0, f0)
+    cvuv = jnp.where(cf0 == 0.0, 0.0, 1.0)
+    cf0 = jnp.concatenate([cf0, (cf0[-1] * 2 - cf0[-2])[None]])
+    cvuv = jnp.concatenate([cvuv, (cvuv[-1] * 2 - cvuv[-2])[None]])
+    time_axis = prims.exact_div(jnp.arange(y_length, dtype=dtype),
+                                float(fs))
+    if0 = prims.interp1(coarse_time, cf0, time_axis, exact=exact_phase)
+    ivuv = prims.interp1(coarse_time, cvuv, time_axis, exact=exact_phase)
+    ivuv = jnp.where(ivuv > 0.5, 1.0, 0.0)
+    if0 = jnp.where(ivuv == 0.0, cfg.K_DEFAULT_F0, if0)
+    if exact_phase:
+        deltas = prims.exact_div(2.0 * jnp.pi * if0, float(fs))
+
+        def acc(c, d):
+            c = c + d
+            return c, c
+        _, total_phase = jax.lax.scan(acc, deltas[0] * 0.0, deltas,
+                                      unroll=64)
+    else:
+        deltas = 2.0 * jnp.pi * if0 / fs
+        total_phase = jnp.cumsum(deltas)
+    wrap = jnp.mod(total_phase, 2.0 * jnp.pi)
+    jump = jnp.abs(wrap[1:] - wrap[:-1]) > jnp.pi  # at sample i, i<y-1
+    return if0, ivuv, wrap, jump
+
+
+def count_pulses(f0, frame_period: float, fs: int, y_length: int,
+                 fft_size: int):
+    """Exact FAST-mode pulse count (jittable): the two-stage pulse
+    bucket dispatch fetches this between the analysis and synthesis
+    programs to size max_pulses (cf. harvest's width dispatch)."""
+    _, _, _, jump = _time_base(f0, frame_period, fs, y_length, fft_size,
+                               exact_phase=False)
+    return jnp.sum(jump)
+
+
 def _dc_remover(fft_size: int, dtype):
     """GetDCRemover (synthesis.cpp:322-334)."""
     half = fft_size // 2
@@ -75,38 +127,8 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
         stream = jnp.zeros(1, dtype)
 
     # ---- GetTimeBase (synthesis.cpp:223-320) ----
-    lowest_f0 = fs / N + 1.0
-    idxT = jnp.arange(T + 1, dtype=dtype)
-    coarse_time = idxT * fp
-    if exact_phase:
-        # keep the multiply from contracting into downstream subtracts
-        # (XLA FMA-fuses iota*const with (xi-x0), flipping ulp-sensitive
-        # V/UV threshold decisions)
-        coarse_time = jax.lax.optimization_barrier(coarse_time)
-    cf0 = jnp.where(f0 < lowest_f0, 0.0, f0)
-    cvuv = jnp.where(cf0 == 0.0, 0.0, 1.0)
-    cf0 = jnp.concatenate([cf0, (cf0[-1] * 2 - cf0[-2])[None]])
-    cvuv = jnp.concatenate([cvuv, (cvuv[-1] * 2 - cvuv[-2])[None]])
-    time_axis = prims.exact_div(jnp.arange(y_length, dtype=dtype), float(fs))
-    if0 = prims.interp1(coarse_time, cf0, time_axis, exact=exact_phase)
-    ivuv = prims.interp1(coarse_time, cvuv, time_axis, exact=exact_phase)
-    ivuv = jnp.where(ivuv > 0.5, 1.0, 0.0)
-    if0 = jnp.where(ivuv == 0.0, cfg.K_DEFAULT_F0, if0)
-
-    if exact_phase:
-        deltas = prims.exact_div(2.0 * jnp.pi * if0, float(fs))
-    else:
-        deltas = 2.0 * jnp.pi * if0 / fs
-    if exact_phase:
-        def acc(c, d):
-            c = c + d
-            return c, c
-        _, total_phase = jax.lax.scan(acc, deltas[0] * 0.0, deltas,
-                                      unroll=64)
-    else:
-        total_phase = jnp.cumsum(deltas)
-    wrap = jnp.mod(total_phase, 2.0 * jnp.pi)
-    jump = jnp.abs(wrap[1:] - wrap[:-1]) > jnp.pi  # at sample i, i<y-1
+    if0, ivuv, wrap, jump = _time_base(f0, frame_period, fs, y_length,
+                                       N, exact_phase)
     n_pulses = jnp.sum(jump)
     pidx = prims.compact_indices(jump, max_pulses, y_length - 2)
     p_valid = jnp.arange(max_pulses) < n_pulses
@@ -129,19 +151,46 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
     # parity mode keeps jnp.fft to match the C++ rounding
     use_matmul = not exact_phase
 
-    def one_pulse(p_i, t_i, shift_i, ns, off, vuv_i):
-        # frame interpolation (synthesis.cpp:140-178)
-        pos = prims.exact_div(t_i, fp)
-        fl = jnp.minimum(T - 1, jnp.floor(pos)).astype(jnp.int32)
-        ce = jnp.minimum(T - 1, jnp.ceil(pos)).astype(jnp.int32)
-        frac = pos - jnp.floor(pos)
-        sp0 = jnp.abs(spectrogram[fl])
-        sp1 = jnp.abs(spectrogram[ce])
-        same = fl == ce
-        sp_env = jnp.where(same, sp0, (1.0 - frac) * sp0 + frac * sp1)
-        ap0 = jnp.clip(aperiodicity[fl], 0.001, 0.999999999999)
-        ap1 = jnp.clip(aperiodicity[ce], 0.001, 0.999999999999)
-        apr = jnp.where(same, ap0, (1.0 - frac) * ap0 + frac * ap1) ** 2
+    if use_matmul:
+        # frame interpolation for ALL pulses as one interpolation-weight
+        # matmul (two nonzeros per row) — MXU instead of per-pulse row
+        # gathers; arithmetic identical (two-term lerp, exact zeros)
+        pos_all = prims.exact_div(pulse_time, fp)
+        fl_a = jnp.minimum(T - 1, jnp.floor(pos_all)).astype(jnp.int32)
+        ce_a = jnp.minimum(T - 1, jnp.ceil(pos_all)).astype(jnp.int32)
+        frac_a = (pos_all - jnp.floor(pos_all)).astype(dtype)
+        tt = jnp.arange(T)
+        same_a = (fl_a == ce_a)[:, None]
+        Wfl = (tt[None, :] == fl_a[:, None]).astype(dtype)
+        Wce = (tt[None, :] == ce_a[:, None]).astype(dtype)
+        W = jnp.where(same_a, Wfl,
+                      Wfl * (1.0 - frac_a)[:, None]
+                      + Wce * frac_a[:, None])
+        sp_env_all = fftmat.mm(W, jnp.abs(spectrogram))
+        ap_all = fftmat.mm(W, jnp.clip(aperiodicity, 0.001,
+                                       0.999999999999))
+        apr_all = ap_all * ap_all
+    else:
+        sp_env_all = jnp.zeros((max_pulses, 1), dtype)
+        apr_all = jnp.zeros((max_pulses, 1), dtype)
+
+    def one_pulse(p_i, t_i, shift_i, ns, off, vuv_i, sp_env_in, apr_in):
+        if use_matmul:
+            sp_env, apr = sp_env_in, apr_in
+        else:
+            # frame interpolation (synthesis.cpp:140-178), parity order
+            pos = prims.exact_div(t_i, fp)
+            fl = jnp.minimum(T - 1, jnp.floor(pos)).astype(jnp.int32)
+            ce = jnp.minimum(T - 1, jnp.ceil(pos)).astype(jnp.int32)
+            frac = pos - jnp.floor(pos)
+            sp0 = jnp.abs(spectrogram[fl])
+            sp1 = jnp.abs(spectrogram[ce])
+            same = fl == ce
+            sp_env = jnp.where(same, sp0, (1.0 - frac) * sp0 + frac * sp1)
+            ap0 = jnp.clip(aperiodicity[fl], 0.001, 0.999999999999)
+            ap1 = jnp.clip(aperiodicity[ce], 0.001, 0.999999999999)
+            apr = jnp.where(same, ap0,
+                            (1.0 - frac) * ap0 + frac * ap1) ** 2
 
         # periodic response (synthesis.cpp:105-138)
         unvoiced = (vuv_i <= 0.5) | (apr[0] > 0.999)
@@ -191,7 +240,7 @@ def synthesis(f0, spectrogram, aperiodicity, fft_size: int,
 
     responses = jax.vmap(one_pulse)(
         pidx, pulse_time, time_shift, noise_size, noise_off,
-        jnp.take(ivuv, pidx))
+        jnp.take(ivuv, pidx), sp_env_all, apr_all)
     responses = jnp.where((p_valid & (noise_size > 0))[:, None],
                           responses, 0.0)
 

@@ -23,12 +23,20 @@ from hts_train_world_tpu.ops import stonemask as sm
 from hts_train_world_tpu.ops import synthesis as syn
 
 
+def _grid_step(fs: int, frame_period: float) -> int:
+    """Samples per frame when integral (enables d4c's slab fast path)."""
+    gs = fs * frame_period / 1000.0
+    return int(gs) if float(gs).is_integer() else 0
+
+
 def _analyze_one(x, fs: int, frame_period: float, fft_size: int,
                  threshold: float):
     t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
     f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
     sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, fft_size)
-    ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, fft_size, threshold, None)
+    ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, fft_size, threshold,
+                                    None,
+                                    grid_step=_grid_step(fs, frame_period))
     return t, f0, sp, ap
 
 
@@ -40,7 +48,8 @@ def _batch_spectral(xs, ts, f0s, fs: int, frame_period: float,
     def one(x, t, f0):
         sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, N)
         ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, N, d4c_threshold,
-                                        None)
+                                        None,
+                                        grid_step=_grid_step(fs, frame_period))
         return sp, ap
 
     return jax.vmap(one)(xs, ts, f0s)
@@ -94,6 +103,59 @@ def batch_analyze(xs, fs: int, frame_period: float = 5.0,
     if algorithm != "dio":
         raise ValueError(f"unknown f0 algorithm {algorithm!r}")
     return _batch_analyze_dio(xs, fs, frame_period, d4c_threshold)
+
+
+@partial(jax.jit, static_argnames=("fs", "frame_period", "y_length"))
+def _count_pulses_b(f0s, fs: int, frame_period: float, y_length: int):
+    N = cfg.cheaptrick_fft_size(fs)
+    return jax.vmap(lambda f0: syn.count_pulses(
+        f0, frame_period, fs, y_length, N))(f0s)
+
+
+@partial(jax.jit, static_argnames=("fs", "frame_period", "y_length",
+                                   "max_pulses"))
+def _batch_synth(f0s, sps, aps, noise, fs: int, frame_period: float,
+                 y_length: int, max_pulses: int):
+    N = cfg.cheaptrick_fft_size(fs)
+    return jax.vmap(lambda f0, sp, ap, nz: syn.synthesis.__wrapped__(
+        f0, sp, ap, N, frame_period, fs, y_length, nz, max_pulses,
+        False))(f0s, sps, aps, noise)
+
+
+def _pulse_bucket(n: int, cap: int) -> int:
+    """Smallest 128-aligned bucket >= n (bounded by the worst case)."""
+    return min(cap, -(-max(n, 1) // 128) * 128)
+
+
+def batch_copy_synth(xs, fs: int, frame_period: float = 5.0,
+                     d4c_threshold: float = 0.0, algorithm: str = "dio",
+                     noise=None, seed: int = 0):
+    """Production batched copy-synthesis, two-stage: jitted batched
+    analysis, ONE host fetch of the exact per-batch pulse count, then
+    jitted synthesis at a bucketed max_pulses — typical audio carries
+    2-4x fewer pulses than the worst-case static cap (f0_ceil-rate),
+    and every per-pulse op scales with the cap (cf. harvest's
+    candidate-width dispatch).  Exact: the bucket bounds the true count
+    (+slack for cross-program f32 cumsum rounding); under an enclosing
+    jit the dispatch falls back to the worst case.
+    Returns (t, f0, sp, ap, y)."""
+    B, L = xs.shape
+    T = cfg.samples_for_dio(fs, L, frame_period)
+    yl = int((T - 1) * frame_period / 1000.0 * fs) + 1
+    t, f0, sp, ap = batch_analyze(xs, fs, frame_period, d4c_threshold,
+                                  algorithm)
+    cap = syn.default_max_pulses(yl, fs)
+    ncs = _count_pulses_b(f0, fs, frame_period, yl)
+    mx = jnp.max(ncs)
+    if isinstance(mx, jax.core.Tracer):
+        bucket = cap
+    else:
+        bucket = _pulse_bucket(int(mx) + 8, cap)
+    if noise is None:
+        noise = synthesis_noise_batch(jax.random.PRNGKey(seed), B, yl,
+                                      xs.dtype)
+    y = _batch_synth(f0, sp, ap, noise, fs, frame_period, yl, bucket)
+    return t, f0, sp, ap, y
 
 
 def make_sharded_pipeline(mesh, fs: int, frame_period: float = 5.0,

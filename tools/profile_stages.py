@@ -45,9 +45,12 @@ def corpus(seed):
 dio_b = jax.jit(jax.vmap(lambda x: dio_mod.dio.__wrapped__(x, FS, 5.0)[:2]))
 sm_b = jax.jit(jax.vmap(lambda x, t, f0: sm.stonemask.__wrapped__(x, FS, t, f0)))
 ct_b = jax.jit(jax.vmap(lambda x, t, f0: ct.cheaptrick.__wrapped__(x, FS, t, f0, N)))
-d4c_b = jax.jit(jax.vmap(lambda x, t, f0: d4c_mod.d4c.__wrapped__(x, FS, t, f0, N, 0.0, None)[0]))
+GS = int(FS * 5.0 / 1000)
+MP = int(os.environ.get("MAX_PULSES", "0"))
+d4c_b = jax.jit(jax.vmap(lambda x, t, f0: d4c_mod.d4c.__wrapped__(
+    x, FS, t, f0, N, 0.0, None, grid_step=GS)[0]))
 syn_b = jax.jit(jax.vmap(lambda f0, sp, ap, nz: syn.synthesis.__wrapped__(
-    f0, sp, ap, N, 5.0, FS, YL, nz, 0, False)))
+    f0, sp, ap, N, 5.0, FS, YL, nz, MP, False)))
 
 
 def timeit(name, fn, *args):
