@@ -53,18 +53,18 @@ def cheaptrick_noise(f0, fs: int, fft_size: int, stream):
     return noise_win, noise_spec
 
 
-@partial(jax.jit, static_argnames=("fs", "fft_size", "q1", "use_pallas"))
+@partial(jax.jit, static_argnames=("fs", "fft_size", "q1", "grid_step"))
 def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
                q1: float = -0.15, noise_win=None, noise_spec=None,
-               use_pallas: bool = False):
+               grid_step: int = 0):
     """CheapTrick (cheaptrick.cpp:200-228) -> spectrogram (T, N/2+1).
 
-    use_pallas=True (f32 fast mode only, noise_win=None) computes the
-    F0-adaptive windowed-waveform matrix with the fused Pallas kernel
-    (ops/pallas/window_gather.py) — one contiguous DMA per frame instead
-    of XLA's per-element gather; gated in tests against the jnp
-    formulation (interpret mode) and ablated on real TPU by
-    tools/profile_pallas_window.py."""
+    grid_step > 0 (fast mode only, noise_win=None) promises
+    temporal_positions sit on the regular frame grid and enables the
+    SLAB formulation (see ops/d4c.py): regular frame slabs from static
+    slices, the F0-adaptive Hann window floating inside its row via
+    elementwise masks, and the power spectrum via the offset-invariant
+    mod-N DFT matmul — no per-frame gathers or dynamic slices."""
     dtype = x.dtype
     L = x.shape[0]
     N = fft_size or cfg.cheaptrick_fft_size(fs)
@@ -75,6 +75,8 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
     b_max = int(fmax * 2.0 / 3.0 * N / fs) + 1
 
     cf0 = jnp.where(f0 <= f0_floor, cfg.K_DEFAULT_F0, f0)
+    use_slab = (noise_win is None and dtype == jnp.float32
+                and grid_step > 0 and N <= fftmat.MATMUL_FFT_LIMIT)
     if noise_win is None:
         noise_win = jnp.zeros((f0.shape[0], N), dtype)
     if noise_spec is None:
@@ -96,17 +98,35 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
     else:
         xp, pad = None, 0
 
-    pallas_wave = None
-    if use_pallas and dtype == jnp.float32:
-        from hts_train_world_tpu.ops.pallas import window_gather
-        halfs = prims.matlab_round_i(1.5 * fs / cf0)
-        origins = prims.matlab_round_i(temporal_positions * fs + 0.001)
-        pallas_wave = window_gather.windowed_frames(x, origins, halfs,
-                                                    cf0, N, fs)
+    if use_slab:
+        from hts_train_world_tpu.ops import d4c as _d4c
+        T = f0.shape[0]
+        h_cap = int(1.5 * fs / f0_floor + 0.5) + 1
+        pad_s = h_cap + 2
+        wl2 = -(-(2 * h_cap + 5) // 128) * 128
+        slab = _d4c._slab_frames(x, T, grid_step, pad_s, wl2, dtype)
+        grid_base = jnp.arange(T, dtype=jnp.int32) * grid_step
+        s_reg = jnp.clip(
+            prims.matlab_round_i(temporal_positions * fs + 0.001)
+            - grid_base, -2, 2)
 
-    def frame(pos, f0i, nw, ns, pwave):
-        if pwave is not None:
-            wave = pwave
+    def slab_wave(row, s, f0i):
+        h = jnp.minimum(prims.matlab_round_i(1.5 * fs / f0i), h_cap)
+        m = jnp.arange(wl2)
+        c = pad_s + s
+        d = c - h
+        valid = (m >= d) & (m <= d + 2 * h)
+        position = (m - c).astype(dtype) / 1.5 / fs
+        w = 0.5 * jnp.cos(jnp.pi * position * f0i) + 0.5
+        w = jnp.where(valid, w, 0.0)
+        w = w / jnp.sqrt(jnp.sum(w * w))
+        wave = jnp.where(valid, row * w, 0.0)
+        coef = jnp.sum(wave) / jnp.sum(w)
+        return jnp.where(valid, wave - w * coef, 0.0)
+
+    def frame(pos, f0i, nw, ns, swave):
+        if use_slab:
+            wave = swave
         else:
             h = prims.matlab_round_i(1.5 * fs / f0i)
             j = jnp.arange(N)
@@ -127,7 +147,9 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
             coef = jnp.sum(wave) / jnp.sum(w)
             wave = jnp.where(valid, wave - w * coef, 0.0)
 
-        if use_matmul:
+        if use_slab:
+            ps = fftmat.rfft_power_matmul(wave, N)  # mod-N beyond N
+        elif use_matmul:
             # measured: identical f32 accuracy to jnp.fft on this input
             # class (the f32/f64 divergence at deep nulls is inherent to
             # the 32-bit dynamic range, with or without matmul)
@@ -168,8 +190,9 @@ def cheaptrick(x, fs: int, temporal_positions, f0, fft_size: int = 0,
         wave2 = jnp.fft.irfft(spec2.astype(C.dtype), N) * N
         return jnp.exp(wave2[:half + 1])
 
-    if pallas_wave is not None:
+    if use_slab:
+        waves = jax.vmap(slab_wave)(slab, s_reg, cf0)
         return jax.vmap(frame)(temporal_positions, cf0, noise_win,
-                               noise_spec, pallas_wave)
+                               noise_spec, waves)
     return jax.vmap(lambda pos, f0i, nw, ns: frame(pos, f0i, nw, ns, None))(
         temporal_positions, cf0, noise_win, noise_spec)

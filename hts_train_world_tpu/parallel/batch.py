@@ -33,10 +33,10 @@ def _analyze_one(x, fs: int, frame_period: float, fft_size: int,
                  threshold: float):
     t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
     f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
-    sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, fft_size)
+    gs = _grid_step(fs, frame_period)
+    sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, fft_size, grid_step=gs)
     ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, fft_size, threshold,
-                                    None,
-                                    grid_step=_grid_step(fs, frame_period))
+                                    None, grid_step=gs)
     return t, f0, sp, ap
 
 
@@ -45,11 +45,12 @@ def _batch_spectral(xs, ts, f0s, fs: int, frame_period: float,
                     d4c_threshold: float):
     N = cfg.cheaptrick_fft_size(fs)
 
+    gs = _grid_step(fs, frame_period)
+
     def one(x, t, f0):
-        sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, N)
+        sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, N, grid_step=gs)
         ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, N, d4c_threshold,
-                                        None,
-                                        grid_step=_grid_step(fs, frame_period))
+                                        None, grid_step=gs)
         return sp, ap
 
     return jax.vmap(one)(xs, ts, f0s)

@@ -68,12 +68,11 @@ def analyze(x, fs: int, frame_period: float = 5.0, q1: float = -0.15,
             rand.randn_stream(d4c_mod.d4c_stream_len(T, fs)), x.dtype)
     else:
         nw = ns = d4c_stream = None
-    sp = ct.cheaptrick(x, fs, t, f0, N, q1, nw, ns)
     gs = fs * frame_period / 1000.0
+    gstep = int(gs) if not parity and float(gs).is_integer() else 0
+    sp = ct.cheaptrick(x, fs, t, f0, N, q1, nw, ns, grid_step=gstep)
     ap, _ = d4c_mod.d4c(x, fs, t, f0, N, d4c_threshold, d4c_stream,
-                        f0_floor=f0_floor,
-                        grid_step=(int(gs) if not parity
-                                   and float(gs).is_integer() else 0))
+                        f0_floor=f0_floor, grid_step=gstep)
     return WorldAnalysis(t, f0, sp, ap, fs, N, frame_period)
 
 
