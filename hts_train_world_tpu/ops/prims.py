@@ -348,8 +348,12 @@ def sum_top_k(p, k: int):
         gt = jnp.sum(b > mid[..., None], axis=-1) >= k
         return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
 
-    lo = jnp.full(p.shape[:-1], -1, jnp.int32)      # zeros count as > lo
-    hi = jnp.full(p.shape[:-1], jnp.int32(0x7f7fffff))
+    # derive the carry init from b (value: lo=-1 so zeros count as > lo)
+    # so it inherits b's varying manual axes — a plain constant breaks
+    # the scan carry typecheck under shard_map
+    z = b[..., 0] & 0
+    lo = z - 1
+    hi = z + jnp.int32(0x7f7fffff)
     lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
     thr = hi[..., None]
     gt_mask = b > thr

@@ -54,3 +54,30 @@ def test_sharded_pipeline_8dev():
     # and the sharded result equals the unsharded batch path
     _, f0_ref, sp_ref, _ = batch.batch_analyze(xs, fs)
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f0_ref), rtol=1e-9)
+
+
+def test_sharded_pipeline_f32_compiles_and_runs():
+    """The f32 fast path under shard_map (the dryrun/production config):
+    catches varying-manual-axes breaks like a constant fori_loop carry
+    inside sum_top_k (r5) that the f64 suite default cannot see."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hts_train_world_tpu.parallel import batch as batch_mod
+    from hts_train_world_tpu.parallel import mesh as mesh_mod
+
+    fs, B, L = 16000, 4, 4800
+    m = mesh_mod.data_mesh(4)
+    fn = batch_mod.make_sharded_pipeline(m, fs)
+    t = np.arange(L) / fs
+    xs = jnp.asarray(np.stack(
+        [0.5 * np.sin(2 * np.pi * (150 + 20 * i) * t) for i in range(B)]),
+        jnp.float32)
+    T = __import__("hts_train_world_tpu.config", fromlist=["c"]) \
+        .samples_for_dio(fs, L, 5.0)
+    yl = int((T - 1) * 5.0 / 1000.0 * fs) + 1
+    noise = batch_mod.synthesis_noise_batch(
+        jax.random.PRNGKey(0), B, yl, jnp.float32)
+    f0, sp, ap, y, stats = fn(xs, noise)
+    assert np.isfinite(np.asarray(y)).all()
+    assert int(stats[2]) > 0
