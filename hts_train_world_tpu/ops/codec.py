@@ -66,7 +66,9 @@ def _coding_tables(fs: int, fft_size: int, n_dims: int):
     ang = kk * np.pi / fft_size - 2.0 * np.pi * kk * sigma[None, :] / M
     D = 2.0 * np.cos(ang) / math.sqrt(fft_size * M)
     D[0] /= math.sqrt(2.0)
-    return jnp.asarray(k), jnp.asarray(s), jnp.asarray(D.T)  # (M,D)
+    # cache NUMPY, not device arrays: jnp.asarray inside a jit trace
+    # yields a tracer, and lru_cache would leak it into later traces
+    return k, s, np.ascontiguousarray(D.T)  # (M,D)
 
 
 @functools.lru_cache(maxsize=None)
@@ -98,7 +100,7 @@ def _decoding_tables(fs: int, fft_size: int, n_dims: int):
     ang = 2.0 * np.pi * sigma[:, None] * kk / M + kk * np.pi / fft_size
     Dinv = math.sqrt(fft_size * M) * np.cos(ang)
     Dinv[:, 0] /= math.sqrt(2.0)
-    return jnp.asarray(k), jnp.asarray(s), jnp.asarray(Dinv.T)  # (D,M)
+    return k, s, np.ascontiguousarray(Dinv.T)  # (D,M)  (numpy; see above)
 
 
 def _gather_lerp(vals, k, s):
@@ -110,7 +112,7 @@ def _gather_lerp(vals, k, s):
 
 def code_spectral_envelope(spectrogram, fs: int, fft_size: int, n_dims: int):
     """CodeSpectralEnvelope (codec.cpp:266-295): log -> mel interp -> DCT."""
-    k, s, D = _coding_tables(fs, fft_size, n_dims)
+    k, s, D = (jnp.asarray(a) for a in _coding_tables(fs, fft_size, n_dims))
     mel_sp = _gather_lerp(jnp.log(spectrogram), k, s)
     from hts_train_world_tpu.ops import fftmat as _fm
     return _fm.mm(mel_sp, D.astype(spectrogram.dtype))
@@ -119,7 +121,8 @@ def code_spectral_envelope(spectrogram, fs: int, fft_size: int, n_dims: int):
 def decode_spectral_envelope(coded, fs: int, fft_size: int, n_dims: int):
     """DecodeSpectralEnvelope (codec.cpp:297-324): IDCT -> Hz interp ->
     exp(x / (fft_size/2))."""
-    k, s, Dinv = _decoding_tables(fs, fft_size, n_dims)
+    k, s, Dinv = (jnp.asarray(a)
+                  for a in _decoding_tables(fs, fft_size, n_dims))
     from hts_train_world_tpu.ops import fftmat as _fm
     mel_sp = _fm.mm(coded, Dinv.astype(coded.dtype))   # (T, M)
     # boundary duplication: mel_spectrum[0]=ms[0], [M+1]=ms[M-1]
@@ -189,7 +192,7 @@ def freqt_matrix(m1: int, m2: int, a: float):
                 gn[j] = d[j - 1] + a * (d[j] - gn[j - 1])
             g = gn
         T[u] = g
-    return jnp.asarray(T)
+    return T  # numpy: cached tables must not hold traced constants
 
 
 def mgc2sp_real(mgc, alpha: float, fft_size: int):

@@ -38,7 +38,7 @@ def frqtr_matrix(m1: int, m2: int, a: float):
                 gn[j] = d[j - 1] + a * (d[j] - gn[j - 1])
             g = gn
         T[u] = g
-    return jnp.asarray(T)
+    return T  # numpy: cached tables must not hold traced constants
 
 
 def freqt(c, m2: int, a: float):
@@ -65,7 +65,7 @@ def _mc2b_matrix(m: int, a: float):
         for i in range(m - 1, -1, -1):
             b[i] = c[i] - a * b[i + 1]
         M[u] = b
-    return jnp.asarray(M)
+    return M  # numpy: cached tables must not hold traced constants
 
 
 def b2mc(b, a: float):

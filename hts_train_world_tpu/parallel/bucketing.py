@@ -49,7 +49,8 @@ def plan_buckets(lengths: Sequence[int], growth: float = 1.26,
 def bucketed_analyze(signals: Sequence[np.ndarray], fs: int,
                      frame_period: float = 5.0, d4c_threshold: float = 0.0,
                      growth: float = 1.26, max_batch: int = 16,
-                     dtype=jnp.float32, algorithm: str = "dio") -> List[Tuple]:
+                     dtype=jnp.float32, algorithm: str = "dio",
+                     pad_batch: bool = False) -> List[Tuple]:
     """Analyze a heterogeneous corpus with one compile per bucket shape.
 
     signals: list of 1-D float arrays (any lengths).  Returns a list of
@@ -57,6 +58,11 @@ def bucketed_analyze(signals: Sequence[np.ndarray], fs: int,
     each trimmed to the utterance's true frame count
     (cfg.samples_for_dio of the TRUE length — the `features` target's
     frame-count contract, data/Makefile.in:209-215).
+
+    pad_batch=True pads every remainder group to max_batch rows (zero
+    audio, results dropped), so each bucket compiles exactly ONE batch
+    shape — worth it when compiles are expensive (the TPU relay) and
+    the corpus is large relative to max_batch.
     """
     lengths = [len(s) for s in signals]
     plan = plan_buckets(lengths, growth)
@@ -64,7 +70,8 @@ def bucketed_analyze(signals: Sequence[np.ndarray], fs: int,
     for blen, idxs in plan.items():
         for at in range(0, len(idxs), max_batch):
             grp = idxs[at:at + max_batch]
-            xs = np.zeros((len(grp), blen), np.float64)
+            rows = max_batch if pad_batch else len(grp)
+            xs = np.zeros((rows, blen), np.float64)
             for r, i in enumerate(grp):
                 xs[r, :lengths[i]] = signals[i]
             t, f0, sp, ap = batch_mod.batch_analyze(
@@ -88,3 +95,50 @@ def bucket_compile_count(lengths: Sequence[int], growth: float = 1.26,
             shapes.add((blen, min(n, max_batch)))
             n -= max_batch
     return len(shapes)
+
+
+def bucketed_extract(signals: Sequence[np.ndarray], fs: int,
+                     frame_period: float = 5.0, d4c_threshold: float = 0.0,
+                     growth: float = 1.26, max_batch: int = 16,
+                     dtype=jnp.float32, algorithm: str = "dio",
+                     pad_batch: bool = False, mgc_dim: int = 50,
+                     bap_dim: int = 25) -> List[Tuple]:
+    """The production FEATURE-EXTRACTION corpus path: bucketed batched
+    analysis + on-device codec encoding, returning per-utterance
+    (lf0, mgc, bap) numpy tuples trimmed to true frame counts — what the
+    reference's `features` target writes per utterance
+    (data/Makefile.in:209-215, analysis.cpp:293-358).  Encoding on
+    device shrinks the host download from 2*(N/2+1) spectral bins to
+    mgc_dim+bap_dim+1 floats per frame (~26x at 48 kHz) — the right
+    production layout AND the difference between bandwidth-bound and
+    compute-bound on a remote-attached TPU."""
+    import jax
+    from functools import partial as _partial
+    from hts_train_world_tpu import cli as cli_mod
+
+    N = cfg.cheaptrick_fft_size(fs)
+
+    @_partial(jax.jit, static_argnames=())
+    def encode_b(f0, sp, ap):
+        import jax as _jax
+        return _jax.vmap(lambda a, b, c: cli_mod.encode_features(
+            a, b, c, fs, N, mgc_dim, bap_dim))(f0, sp, ap)
+
+    lengths = [len(s) for s in signals]
+    plan = plan_buckets(lengths, growth)
+    out: List[Tuple] = [None] * len(signals)
+    for blen, idxs in plan.items():
+        for at in range(0, len(idxs), max_batch):
+            grp = idxs[at:at + max_batch]
+            rows = max_batch if pad_batch else len(grp)
+            xs = np.zeros((rows, blen), np.float64)
+            for r, i in enumerate(grp):
+                xs[r, :lengths[i]] = signals[i]
+            _, f0, sp, ap = batch_mod.batch_analyze(
+                jnp.asarray(xs, dtype), fs, frame_period, d4c_threshold,
+                algorithm=algorithm)
+            lf0, mgc, bap = (np.asarray(a) for a in encode_b(f0, sp, ap))
+            for r, i in enumerate(grp):
+                T = cfg.samples_for_dio(fs, lengths[i], frame_period)
+                out[i] = (lf0[r, :T], mgc[r, :T], bap[r, :T])
+    return out

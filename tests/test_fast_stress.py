@@ -132,3 +132,39 @@ def test_d4c_fast_trim_covers_low_f0():
     # different contraction lengths); the pre-fix truncation erred ~0.7
     np.testing.assert_allclose(np.asarray(ap_trim), np.asarray(ap_full),
                                rtol=0, atol=1e-3)
+
+
+def test_d4c_cheaptrick_slab_matches_generic_fast_path():
+    """The slab formulations (grid_step>0) must track the generic f32
+    fast paths within f32 reduction-order noise on regular-grid input —
+    guards the offset-invariance argument (power spectra / same-offset
+    centroid products) against future edits."""
+    import jax.numpy as jnp
+    from hts_train_world_tpu import config as cfg
+    from hts_train_world_tpu.ops import cheaptrick as ct
+    from hts_train_world_tpu.ops import d4c as d4c_mod
+
+    fs = 16000
+    L = int(fs * 0.4)
+    t = np.arange(L) / fs
+    rng = np.random.default_rng(5)
+    ph = np.cumsum(2 * np.pi * 180 * (1 + 0.04 * np.sin(2 * np.pi * 3 * t)) / fs)
+    x = (0.6 * np.sin(ph) + 0.2 * np.sin(2 * ph)
+         + 0.01 * rng.standard_normal(L)).astype(np.float32)
+    T = cfg.samples_for_dio(fs, L, 5.0)
+    tp = jnp.asarray(np.arange(T) * 0.005, jnp.float32)
+    f0 = jnp.asarray(np.where(np.arange(T) % 9 == 5, 0.0,
+                              180 + 25 * np.sin(np.arange(T) * 0.4)),
+                     jnp.float32)
+    N = cfg.cheaptrick_fft_size(fs)
+    xj = jnp.asarray(x)
+    step = int(fs * 0.005)
+
+    sp_g = np.asarray(ct.cheaptrick(xj, fs, tp, f0, N))
+    sp_s = np.asarray(ct.cheaptrick(xj, fs, tp, f0, N, grid_step=step))
+    assert np.abs(np.log(sp_s) - np.log(sp_g)).mean() < 1e-3
+
+    ap_g, p_g = d4c_mod.d4c(xj, fs, tp, f0, N, 0.0, None)
+    ap_s, p_s = d4c_mod.d4c(xj, fs, tp, f0, N, 0.0, None, grid_step=step)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_g), atol=1e-5)
+    assert np.abs(np.asarray(ap_s) - np.asarray(ap_g)).max() < 5e-3
