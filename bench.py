@@ -38,7 +38,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", 5))
 PINS = {
     "world_analysis_synthesis_throughput": 59.13,   # r5 (r4: 38.36)
     "feature_pipeline_throughput": 79.44,           # r5 (r4: 52.13)
-    "harvest_analysis_throughput": 6.79,            # r5 first artifact (lane crashed in r4)
+    "harvest_analysis_throughput": 13.17,           # r5 (slab refine + scatter interp; lane crashed in r4)
     "corpus500_analysis_throughput": 26.94,         # r5: 48 kHz vibrato corpus + on-device encode (r4 lane was 16 kHz sines, 14.6)
     "corpus500_harvest_throughput": 3.42,           # r5 new lane (48 kHz, device Harvest)
     # hsmm lane swings 17.7k-24.2k with relay latency (code unchanged

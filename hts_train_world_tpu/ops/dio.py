@@ -87,18 +87,25 @@ def _four_zero_crossings(filtered, y_length: int, actual_fs, cap: int):
 
 def _band_candidate(filtered, y_length: int, actual_fs, boundary_f0: float,
                     f0_floor: float, f0_ceil: float, temporal_positions,
-                    cap: int):
-    """GetF0CandidateFromRawEvent minus the filtering (dio.cpp:441-508)."""
+                    cap: int, fp_s: float = 0.0):
+    """GetF0CandidateFromRawEvent minus the filtering (dio.cpp:441-508).
+    fp_s > 0 (f32 fast path): temporal_positions is the regular grid
+    arange(T)*fp_s — use the scatter+cumsum interpolation (no sort)."""
     dtype = filtered.dtype
     streams = _four_zero_crossings(filtered, y_length, actual_fs, cap)
     interped = []
     enough = jnp.asarray(True)
     t_limit = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    T = temporal_positions.shape[0]
     for locs, vals, n, tl in streams:
         enough = enough & (n > 2)  # CheckEvent(n-2), dio.cpp:475-478
         t_limit = jnp.minimum(t_limit, tl)
-        interped.append(prims.interp1(locs, vals, temporal_positions,
-                                      n_valid=n))
+        if fp_s > 0.0 and dtype == jnp.float32:
+            interped.append(prims.interp1_regular_grid(
+                locs, vals, T, fp_s, n_valid=n))
+        else:
+            interped.append(prims.interp1(locs, vals, temporal_positions,
+                                          n_valid=n))
     f = jnp.stack(interped)  # (4, T)
     cand = jnp.mean(f, axis=0)
     score = jnp.sqrt(jnp.sum((f - cand) ** 2, axis=0) / 3.0)
@@ -321,7 +328,8 @@ def dio(x, fs: int, frame_period: float = 5.0,
         else:
             band_cap = cap
         c, s = _band_candidate(filt, y_length, actual_fs, boundary, f0_floor,
-                               f0_ceil, temporal_positions, band_cap)
+                               f0_ceil, temporal_positions, band_cap,
+                               fp_s=frame_period / 1000.0)
         cands.append(c)
         scores.append(s / (c + cfg.K_MY_SAFE_GUARD_MINIMUM))  # dio.cpp:563
     f0_candidates = jnp.stack(cands)

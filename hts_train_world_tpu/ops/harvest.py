@@ -136,12 +136,21 @@ def _zc_candidates(filt, boundary, y_length: int, temporal, fs8: float,
     enough = boundary > -1.0  # varying-typed True
     t_limit = jnp.asarray(jnp.finfo(dtype).max, dtype)
     d = filt[1:] - filt[:-1]
+    T = temporal.shape[0]
     for sig, ln in ((filt, y_length), (-filt, y_length),
                     (d, y_length - 1), (-d, y_length - 1)):
         locs, vals, n, tl = dio_mod.zero_crossings(sig, ln, fs8, cap)
         enough = enough & (n > 2)
         t_limit = jnp.minimum(t_limit, tl)
-        interped.append(prims.interp1(locs, vals, temporal, n_valid=n))
+        if dtype == jnp.float32:
+            # regular 1 ms query grid + ascending crossing times: the
+            # scatter+cumsum formulation beats the sort-searchsorted
+            # (~4x; the dominant cost of the raw-candidate stage)
+            interped.append(prims.interp1_regular_grid(
+                locs, vals, T, 0.001, n_valid=n))
+        else:
+            interped.append(prims.interp1(locs, vals, temporal,
+                                          n_valid=n))
     f = jnp.stack(interped)
     cand = jnp.mean(f, axis=0)
     bad = ((cand > boundary * 1.1) | (cand < boundary * 0.9)
@@ -308,6 +317,114 @@ def _fft_size_for(f0, fs8):
     return (4 * (2 ** e)).astype(np.int64)
 
 
+def _refine_all_slab(y, cands, fs8: float, f0_floor: float,
+                     f0_ceil: float, frame_chunk: int = 128):
+    """refine_all on per-frame SLABS (f32, integer samples-per-frame):
+    one static-slice slab row per 1 ms frame, shared by all of the
+    frame's candidates — no per-pair dynamic slices (the r5 D4C slab
+    pattern; 182k vmapped 341-wide slices were the harvest profile's
+    dominant cost).  The window floats inside the row; the IF readouts
+    |sm|^2 and Im(conj(sm)*sd) are offset-invariant, so no phase
+    correction is needed."""
+    from hts_train_world_tpu.ops import d4c as _d4c
+    from hts_train_world_tpu.ops import fftmat as _fm
+    dtype = y.dtype
+    T, NC = cands.shape
+    step = int(fs8 * 0.001)
+    h_cap = int(1.5 * fs8 / f0_floor + 1.0)
+    W = 2 * h_cap + 1
+    e_max = int(math.log(W * 1.0) / cfg.K_LOG2)
+    B = 4 * (2 ** e_max)
+    pad_slab = h_cap + 4
+    W2 = -(-(2 * h_cap + 9) // 128) * 128
+    slab = _d4c._slab_frames(y, T, step, pad_slab, W2, dtype)
+    C, S = _fm.rfft_mats(B, dtype)
+    if W2 <= B:
+        C, S = C[:W2], S[:W2]
+    else:  # mod-N extension (tiny f0_floor); power/cross are invariant
+        Ce, Se = _fm._rfft_mats_ext_np(B, W2)
+        C, S = jnp.asarray(Ce, dtype), jnp.asarray(Se, dtype)
+    mm_i = jnp.arange(W2)
+    ks = jnp.arange(1, 7, dtype=dtype)
+    kmask6 = jnp.arange(6)
+
+    def frame(row, t, f0row):
+        pos = t.astype(dtype) * jnp.asarray(0.001, dtype)
+        # identical int index stream as the generic path: the window
+        # sample index (base_index - 1) = t*step - pad_slab + m
+        idx_f = (t * step - pad_slab + mm_i).astype(dtype)
+        tmp_all = idx_f / fs8 - pos            # shared across candidates
+
+        def cand(f0i):
+            ok = f0i > 0
+            f0s = jnp.where(ok, f0i, 100.0)
+            h = (1.5 * fs8 / f0s + 1.0).astype(jnp.int32)
+            e_c = jnp.floor(jnp.log((h * 2.0 + 1.0).astype(dtype))
+                            / cfg.K_LOG2).astype(jnp.int32)
+            r = (B // 4) >> e_c
+            bc_half = 2 * (1 << e_c)
+            base0 = prims.matlab_round_i(
+                (pos + (-h).astype(dtype) / fs8) * fs8 + 0.001)
+            d = jnp.clip(base0 - 1 + pad_slab - t * step, 0, W2 - 1)
+            valid = (mm_i >= d) & (mm_i <= d + 2 * h)
+            wt = (2.0 * h.astype(dtype) + 1.0) / fs8
+            mw = (0.42 + 0.5 * jnp.cos(2 * jnp.pi * tmp_all / wt)
+                  + 0.08 * jnp.cos(4 * jnp.pi * tmp_all / wt))
+            mw = jnp.where(valid, mw, 0.0)
+            mw_p = jnp.concatenate([mw[1:], jnp.zeros(1, dtype)])
+            mw_m = jnp.concatenate([jnp.zeros(1, dtype), mw[:-1]])
+            dw = jnp.where(valid, -(mw_p - mw_m) / 2.0, 0.0)
+            return row * mw, row * dw, f0s, h, e_c, r, bc_half, ok
+
+        segmw, segdw, f0s, h, e_c, r, bc_half, ok = jax.vmap(cand)(f0row)
+        sm_re, sm_im = _fm.mm(segmw, C), _fm.mm(segmw, S)
+        sd_re, sd_im = _fm.mm(segdw, C), _fm.mm(segdw, S)
+
+        def read(smr, smi, sdr, sdi, f0s, e_c, r, bc_half, ok):
+            nh = jnp.minimum((fs8 / 2.0 / f0s).astype(jnp.int32), 6)
+            idx_c = jnp.clip(prims.matlab_round_i(
+                f0s * (4 * (1 << e_c)).astype(dtype) / fs8 * ks),
+                0, bc_half)
+            idx = idx_c * r
+            p = jnp.take(smr, idx) ** 2 + jnp.take(smi, idx) ** 2
+            nm = (jnp.take(smr, idx) * jnp.take(sdi, idx)
+                  - jnp.take(smi, idx) * jnp.take(sdr, idx))
+            inst = jnp.where(p == 0.0, 0.0,
+                             idx_c.astype(dtype) * fs8
+                             / (4 * (1 << e_c)).astype(dtype)
+                             + nm / p * fs8 / (2.0 * jnp.pi))
+            amp = jnp.sqrt(p)
+            mask = (kmask6 < nh).astype(dtype)
+            num = jnp.sum(amp * inst * mask)
+            den = jnp.sum(amp * ks * mask)
+            score_sum = jnp.sum(jnp.abs((inst / ks - f0s) / f0s) * mask)
+            rf0 = num / (den + cfg.K_MY_SAFE_GUARD_MINIMUM)
+            score = 1.0 / (score_sum / nh.astype(dtype)
+                           + cfg.K_MY_SAFE_GUARD_MINIMUM)
+            bad = ((rf0 < f0_floor) | (rf0 > f0_ceil) | (score < 2.5)
+                   | ~ok)
+            return jnp.where(bad, 0.0, rf0), jnp.where(bad, 0.0, score)
+
+        return jax.vmap(read)(sm_re, sm_im, sd_re, sd_im, f0s, e_c, r,
+                              bc_half, ok)
+
+    padT = (-T) % frame_chunk
+    slab_p = jnp.concatenate([slab, jnp.zeros((padT, W2), dtype)])
+    tvals = jnp.arange(T + padT, dtype=jnp.int32)
+    cands_p = jnp.concatenate([cands, jnp.zeros((padT, NC), dtype)])
+
+    def block(args):
+        rows, ts, frows = args
+        return jax.vmap(frame)(rows, ts, frows)
+
+    nb = (T + padT) // frame_chunk
+    rf, sc = jax.lax.map(block, (
+        slab_p.reshape(nb, frame_chunk, W2),
+        tvals.reshape(nb, frame_chunk),
+        cands_p.reshape(nb, frame_chunk, NC)))
+    return (rf.reshape(-1, NC)[:T], sc.reshape(-1, NC)[:T])
+
+
 def refine_all(y, positions, cands, fs8: float, f0_floor: float,
                f0_ceil: float, chunk: int = 8192):
     """GetRefinedF0 (harvest.cpp:589-617) for EVERY (frame, candidate)
@@ -324,6 +441,12 @@ def refine_all(y, positions, cands, fs8: float, f0_floor: float,
     """
     dtype = y.dtype
     L = y.shape[0]
+    # slab fast path: f32 on the regular 1 ms grid with an integer
+    # samples-per-frame step (`positions` IS that grid here — the only
+    # caller is _harvest_back_trace)
+    step_f = fs8 * 0.001
+    if dtype == jnp.float32 and float(step_f).is_integer():
+        return _refine_all_slab(y, cands, fs8, f0_floor, f0_ceil)
     h_cap = int(1.5 * fs8 / f0_floor + 1.0)
     W = 2 * h_cap + 1
     e_max = int(math.log(W * 1.0) / cfg.K_LOG2)

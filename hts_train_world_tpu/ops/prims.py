@@ -134,6 +134,53 @@ def interp1(x, y, xi, n_valid=None, exact=False):
     return y0 + s * (y1 - y0)
 
 
+def interp1_regular_grid(x, y, T: int, fp: float, n_valid=None):
+    """interp1(x, y, arange(T)*fp) for ASCENDING x and the REGULAR query
+    grid t_q = float32(q)*fp — no searchsorted at all.
+
+    The interpolant is piecewise linear: out_q = c_k + m_k * t_q with
+    k = clip(#(x <= t_q), 1, n-1).  Each x_i owns a first-covered query
+    qlo_i (the smallest q with x_i <= t_q, found EXACTLY by comparing
+    against the f32 grid values), so the per-segment slope/intercept
+    become cumulative sums of deltas scattered at qlo — one f32
+    scatter-add + cumsum instead of a sort per call (~4x cheaper at the
+    harvest zero-crossing shapes).  Arithmetic differs from interp1 by
+    f32 reassociation (c + m*t vs y0 + s*dy), so this is a FAST-path
+    primitive; parity paths keep interp1."""
+    dtype = x.dtype
+    n = x.shape[-1]
+    kmax = (n - 1) if n_valid is None else jnp.maximum(n_valid - 1, 1)
+    valid = jnp.arange(n) < (n if n_valid is None else n_valid)
+    fpv = jnp.asarray(fp, dtype)
+
+    # smallest q with x_i <= q*fp, exact on the f32 grid
+    q0 = jnp.floor(x / fpv).astype(jnp.int32)
+    q0 = jnp.clip(q0, 0, T)
+    qlo = jnp.where(x <= q0.astype(dtype) * fpv, q0, q0 + 1)
+    qlo = jnp.where(x <= 0.0, 0, qlo)           # negative x covers q=0
+    qlo = jnp.where(valid, qlo, T + 1)          # masked tail: dropped
+
+    # per-segment slope + LOCAL anchor (x0, y0); segment k spans
+    # [x[k-1], x[k]).  out = y0 + m*(t - x0) keeps every cumsum
+    # telescoping (the global-intercept form c + m*t cancels
+    # catastrophically when closely spaced x make |m| huge)
+    m = (y[1:] - y[:-1]) / (x[1:] - x[:-1])
+    seg_ok = jnp.arange(1, n) <= kmax           # segments 1..kmax
+    m = jnp.where(seg_ok, m, 0.0)
+    # piecewise-constant (M, X0, Y0) over q: start at segment 1's
+    # values, add deltas when the count reaches k+1 (at qlo of x_k)
+    ok_t = seg_ok[1:]                            # transition target valid
+    dm = jnp.where(ok_t, m[1:] - m[:-1], 0.0)
+    dxa = jnp.where(ok_t, x[1:-1] - x[:-2], 0.0)
+    dya = jnp.where(ok_t, y[1:-1] - y[:-2], 0.0)
+    pos = qlo[1:-1]                              # qlo of x_k, k=1..n-2
+    Mq = m[0] + jnp.cumsum(jnp.zeros(T, dtype).at[pos].add(dm, mode="drop"))
+    X0 = x[0] + jnp.cumsum(jnp.zeros(T, dtype).at[pos].add(dxa, mode="drop"))
+    Y0 = y[0] + jnp.cumsum(jnp.zeros(T, dtype).at[pos].add(dya, mode="drop"))
+    t = jnp.arange(T, dtype=dtype) * fpv
+    return Y0 + Mq * (t - X0)
+
+
 def interp1q(x0, shift, y, xi, n_valid=None):
     """Uniform-grid linear interpolation, matlabfunctions.cpp:220-241.
 

@@ -151,7 +151,10 @@ def test_batch_analyze_harvest_jit_composable():
         return batch_mod.batch_analyze(x, fs, algorithm="harvest")[1]
 
     f0_jit = run(jnp.asarray(xs))
-    np.testing.assert_array_equal(np.asarray(f0_jit), np.asarray(f0_eager))
+    # widths differ (bucketed vs worst-case) -> the slab refine's
+    # frame-block matmul reduction order differs by an f32 ulp
+    np.testing.assert_allclose(np.asarray(f0_jit), np.asarray(f0_eager),
+                               rtol=1e-6)
 
 
 def test_bucket_width_fallback_exact_bound():
