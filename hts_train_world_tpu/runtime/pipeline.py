@@ -124,17 +124,19 @@ class SingingPipeline:
                     assert fs == self.cfg.fs, \
                         f"{bases[i]}: fs {fs} != {self.cfg.fs}"
                     sigs[i] = x
-            res = bucketing.bucketed_analyze(sigs, self.cfg.fs,
-                                             self.cfg.frame_period)
-            for base, (t, f0, sp, ap) in zip(bases, res):
-                analyzed[base] = vocoder.WorldAnalysis(
-                    temporal_positions=t, f0=f0, spectrogram=sp,
-                    aperiodicity=ap, fs=self.cfg.fs,
-                    fft_size=self.fft_size,
-                    frame_period=self.cfg.frame_period)
+            # bucketed_extract encodes lf0/mgc/bap ON DEVICE in the
+            # batched program — one compile per bucket shape for the
+            # whole corpus (a host-side per-utterance encode_features
+            # loop recompiles per distinct length AND downloads full
+            # spectrograms)
+            res = bucketing.bucketed_extract(
+                sigs, self.cfg.fs, self.cfg.frame_period,
+                mgc_dim=lay.mgc_dim, bap_dim=lay.bap_dim)
+            for base, enc in zip(bases, res):
+                analyzed[base] = enc
         for base in bases:
             if base in analyzed:
-                a = analyzed[base]
+                lf0_1d, mgc, bap = analyzed[base]
             else:
                 x, fs = wavio.wavread(os.path.join(self.wd, "raw",
                                                    f"{base}.wav"))
@@ -142,9 +144,9 @@ class SingingPipeline:
                 a = vocoder.analyze(jnp.asarray(x), fs,
                                     self.cfg.frame_period,
                                     parity=self.cfg.parity)
-            lf0_1d, mgc, bap = cli_mod.encode_features(
-                a.f0, a.spectrogram, a.aperiodicity, a.fs, a.fft_size,
-                lay.mgc_dim, lay.bap_dim)
+                lf0_1d, mgc, bap = cli_mod.encode_features(
+                    a.f0, a.spectrogram, a.aperiodicity, a.fs, a.fft_size,
+                    lay.mgc_dim, lay.bap_dim)
             mono = os.path.join(self.wd, "labels", "mono", f"{base}.lab")
             full = os.path.join(self.wd, "labels", "full", f"{base}.lab")
             if os.path.exists(full) and not os.path.exists(mono):
