@@ -39,7 +39,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", 5))
 # the round-5 measurements on one v5e chip (2026-08-21); lanes that
 # changed definition in r5 note their pre-r5 number for context.
 PINS = {
-    "world_analysis_synthesis_throughput": 61.81,   # r5 @ B=16 (r4: 38.36 @ B=8)
+    "world_analysis_synthesis_throughput": 68.71,   # r5 @ B=16 (r4: 38.36 @ B=8)
     "feature_pipeline_throughput": 79.44,           # r5 (r4: 52.13)
     "harvest_analysis_throughput": 13.17,           # r5 (slab refine + scatter interp; lane crashed in r4)
     "corpus500_analysis_throughput": 26.94,         # r5: 48 kHz vibrato corpus + on-device encode (r4 lane was 16 kHz sines, 14.6)

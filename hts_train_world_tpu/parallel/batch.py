@@ -32,8 +32,8 @@ def _grid_step(fs: int, frame_period: float) -> int:
 def _analyze_one(x, fs: int, frame_period: float, fft_size: int,
                  threshold: float):
     t, f0, _, _ = dio_mod.dio.__wrapped__(x, fs, frame_period)
-    f0 = sm.stonemask.__wrapped__(x, fs, t, f0)
     gs = _grid_step(fs, frame_period)
+    f0 = sm.stonemask.__wrapped__(x, fs, t, f0, grid_step=gs)
     sp = ct.cheaptrick.__wrapped__(x, fs, t, f0, fft_size, grid_step=gs)
     ap, _ = d4c_mod.d4c.__wrapped__(x, fs, t, f0, fft_size, threshold,
                                     None, grid_step=gs)

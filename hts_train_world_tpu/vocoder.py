@@ -33,7 +33,7 @@ class WorldAnalysis:
 def estimate_f0(x, fs: int, frame_period: float = 5.0,
                 f0_floor: float = cfg.K_FLOOR_F0,
                 f0_ceil: float = cfg.K_CEIL_F0, refine: bool = True,
-                algorithm: str = "dio"):
+                algorithm: str = "dio", fast_grid: bool = False):
     """DIO + StoneMask (F0Estimation, analysis.cpp:93-143), or Harvest
     (harvest.cpp:1223-1255; its instantaneous-frequency refinement is
     built in, so StoneMask is not applied)."""
@@ -44,7 +44,10 @@ def estimate_f0(x, fs: int, frame_period: float = 5.0,
         raise ValueError(f"unknown f0 algorithm {algorithm!r}")
     t, f0, _, _ = dio_mod.dio(x, fs, frame_period, f0_floor, f0_ceil)
     if refine:
-        f0 = sm.stonemask(x, fs, t, f0, f0_floor, f0_ceil)
+        gs = fs * frame_period / 1000.0
+        gstep = (int(gs) if fast_grid and float(gs).is_integer() else 0)
+        f0 = sm.stonemask(x, fs, t, f0, f0_floor, f0_ceil,
+                          grid_step=gstep)
     return t, f0
 
 
@@ -56,7 +59,8 @@ def analyze(x, fs: int, frame_period: float = 5.0, q1: float = -0.15,
     x = jnp.asarray(x)
     N = fft_size or cfg.cheaptrick_fft_size(fs)
     t, f0 = estimate_f0(x, fs, frame_period, f0_floor, f0_ceil,
-                        algorithm=algorithm)
+                        algorithm=algorithm,
+                        fast_grid=not parity and x.dtype == jnp.float32)
     f0 = jnp.asarray(f0)
     t = jnp.asarray(t, x.dtype)
     T = int(f0.shape[0])
