@@ -43,7 +43,8 @@ def corpus(seed):
 
 
 dio_b = jax.jit(jax.vmap(lambda x: dio_mod.dio.__wrapped__(x, FS, 5.0)[:2]))
-sm_b = jax.jit(jax.vmap(lambda x, t, f0: sm.stonemask.__wrapped__(x, FS, t, f0)))
+sm_b = jax.jit(jax.vmap(lambda x, t, f0: sm.stonemask.__wrapped__(
+    x, FS, t, f0, grid_step=int(FS * 5.0 / 1000))))
 ct_b = jax.jit(jax.vmap(lambda x, t, f0: ct.cheaptrick.__wrapped__(
     x, FS, t, f0, N, grid_step=int(FS * 5.0 / 1000))))
 GS = int(FS * 5.0 / 1000)
